@@ -1,0 +1,279 @@
+"""Aggregation collectors C1–C14 (SURVEY.md §2.C) — the crate proper.
+
+Every collector is expressed through Spark's native partial+final
+aggregation (hash-agg partials before the shuffle ARE tantivy's
+SegmentAgg -> merge_fruits contract, §4.6). Metric collectors are spec
+objects lowering to aliased Column expressions so arbitrary tuples of
+them fuse into ONE ``.agg(...)`` pass (C13); bucket collectors are
+DataFrame -> DataFrame functions.
+
+``agg_search`` is the crate's entry point (§3.3): one persisted matched
+set feeds hits + every aggregation — the Spark idiom for "fused into the
+scoring pass".
+
+Upstream parity map (module names per SURVEY §2.C; crate source
+unavailable locally — SURVEY.md §0): count_agg.rs -> CountAgg,
+min/max/sum/avg/stats_agg.rs -> Min/Max/Sum/Avg/StatsAgg,
+percentiles_agg.rs -> PercentilesAgg, terms_agg.rs -> terms_agg,
+filter_agg.rs -> FilterAgg/filter_agg, post_filter_agg.rs -> agg_search's
+``post_filter``, histogram/range -> histogram_agg/range_agg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cond(col: Column, cond: Column | None) -> Column:
+    return F.when(cond, col) if cond is not None else col
+
+
+@dataclass(frozen=True)
+class MetricAgg:
+    """Base spec: lowers to one or more aliased aggregate Columns.
+
+    ``cond`` support makes FilterAgg (C8) a zero-extra-scan rewrite:
+    every metric accepts an optional predicate applied via CASE WHEN
+    inside the aggregate.
+    """
+
+    def exprs(self, cond: Column | None = None) -> list[Column]:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class CountAgg(MetricAgg):  # C1
+    name: str = "count"
+
+    def exprs(self, cond=None):
+        return [F.count(_cond(F.lit(1), cond)).alias(self.name)]
+
+
+@dataclass(frozen=True)
+class MinAgg(MetricAgg):  # C2
+    field: str = ""
+    name: str = ""
+
+    def exprs(self, cond=None):
+        return [F.min(_cond(F.col(self.field), cond)).alias(self.name or f"min_{self.field}")]
+
+
+@dataclass(frozen=True)
+class MaxAgg(MetricAgg):  # C3
+    field: str = ""
+    name: str = ""
+
+    def exprs(self, cond=None):
+        return [F.max(_cond(F.col(self.field), cond)).alias(self.name or f"max_{self.field}")]
+
+
+@dataclass(frozen=True)
+class SumAgg(MetricAgg):  # C4 — 0 on empty, like the crate
+    field: str = ""
+    name: str = ""
+
+    def exprs(self, cond=None):
+        return [
+            F.coalesce(F.sum(_cond(F.col(self.field), cond)), F.lit(0)).alias(
+                self.name or f"sum_{self.field}"
+            )
+        ]
+
+
+@dataclass(frozen=True)
+class AvgAgg(MetricAgg):  # C5 — NULL on empty (Option<mean>)
+    field: str = ""
+    name: str = ""
+
+    def exprs(self, cond=None):
+        return [F.avg(_cond(F.col(self.field), cond)).alias(self.name or f"avg_{self.field}")]
+
+
+@dataclass(frozen=True)
+class StatsAgg(MetricAgg):  # C6 — one pass, five fruits
+    field: str = ""
+    prefix: str = ""
+
+    def exprs(self, cond=None):
+        c = _cond(F.col(self.field), cond)
+        p = self.prefix or f"{self.field}_"
+        return [
+            F.count(c).alias(f"{p}count"),
+            F.coalesce(F.sum(c), F.lit(0)).alias(f"{p}sum"),
+            F.min(c).alias(f"{p}min"),
+            F.max(c).alias(f"{p}max"),
+            F.avg(c).alias(f"{p}avg"),
+        ]
+
+
+@dataclass(frozen=True)
+class PercentilesAgg(MetricAgg):  # C10
+    """Exact by default (matches the DuckDB oracle's quantile_cont);
+    ``approx=True`` switches to percentile_approx — the 100TB path, where
+    an exact percentile would require a full sort per group."""
+
+    field: str = ""
+    pcts: tuple[float, ...] = (0.5, 0.9, 0.99)
+    approx: bool = False
+    prefix: str = ""
+
+    def exprs(self, cond=None):
+        c = _cond(F.col(self.field), cond)
+        p = self.prefix or f"{self.field}_p"
+        fn = F.percentile_approx if self.approx else F.percentile
+        return [
+            fn(c, F.lit(float(pct))).alias(f"{p}{int(pct * 100)}") for pct in self.pcts
+        ]
+
+
+@dataclass(frozen=True)
+class FilterAgg(MetricAgg):  # C8 — conditional rewrite, no second scan
+    predicate: str = ""  # SQL boolean expression over matched columns
+    sub_aggs: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+
+    def exprs(self, cond=None):
+        mine = F.expr(self.predicate)
+        if cond is not None:
+            mine = cond & mine
+        out: list[Column] = []
+        for sub in self.sub_aggs:
+            out.extend(sub.exprs(cond=mine))
+        return out
+
+
+def metrics_agg(matched: DataFrame, aggs: list[MetricAgg]) -> DataFrame:
+    """C13: any tuple of metric collectors -> ONE aggregation pass."""
+    cols: list[Column] = []
+    for a in aggs:
+        cols.extend(a.exprs())
+    return matched.agg(*cols)
+
+
+def terms_agg(
+    matched: DataFrame,
+    field: str,
+    size: int | None = 10,
+    sub_aggs: list[MetricAgg] | None = None,
+    order_by: str = "count",
+    ascending: bool = False,
+) -> DataFrame:
+    """C7: top-N facet buckets with nested sub-aggregations.
+
+    groupBy(field) runs with map-side partial aggregation; top-N uses a
+    single-partition window over the (small, cardinality-of-facet) bucket
+    set — never over docs. Tie-break: bucket key ascending.
+    """
+    cols = [F.count(F.lit(1)).alias("count")]
+    for sub in sub_aggs or []:
+        cols.extend(sub.exprs())
+    buckets = matched.groupBy(field).agg(*cols)
+    if size is not None:
+        order = [
+            F.asc(order_by) if ascending else F.desc(order_by),
+            F.asc(field),
+        ]
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= size)
+            .drop("_rn")
+        )
+    return buckets
+
+
+def histogram_agg(
+    matched: DataFrame,
+    field: str,
+    interval: float,
+    offset: float = 0.0,
+    sub_aggs: list[MetricAgg] | None = None,
+) -> DataFrame:
+    """C11: fixed-width buckets; key = floor((x-offset)/interval)*interval+offset."""
+    key = (
+        F.floor((F.col(field) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+        + F.lit(offset)
+    ).alias("bucket")
+    cols = [F.count(F.lit(1)).alias("count")]
+    for sub in sub_aggs or []:
+        cols.extend(sub.exprs())
+    return matched.groupBy(key).agg(*cols)
+
+
+def range_agg(
+    matched: DataFrame,
+    field: str,
+    edges: list[float],
+    sub_aggs: list[MetricAgg] | None = None,
+    keep_unbounded: bool = True,
+) -> DataFrame:
+    """C12: explicit [lo, hi) buckets from an edge list, plus the two
+    unbounded tails. Bucket key = '<lo>-<hi>' strings ('*' for open)."""
+    col = F.col(field)
+    branches: list[tuple[Column, str]] = []
+    if keep_unbounded:
+        branches.append((col < F.lit(edges[0]), f"*-{edges[0]:g}"))
+    for lo, hi in zip(edges, edges[1:]):
+        branches.append(((col >= F.lit(lo)) & (col < F.lit(hi)), f"{lo:g}-{hi:g}"))
+    if keep_unbounded:
+        branches.append((col >= F.lit(edges[-1]), f"{edges[-1]:g}-*"))
+    key = None
+    for cond, label in branches:
+        key = F.when(cond, label) if key is None else key.when(cond, label)
+    cols = [F.count(F.lit(1)).alias("count")]
+    for sub in sub_aggs or []:
+        cols.extend(sub.exprs())
+    return matched.groupBy(key.alias("range_key")).agg(*cols)
+
+
+def agg_search(
+    index,
+    query_str: str,
+    k: int = 10,
+    metric_aggs: list[MetricAgg] | None = None,
+    bucket_aggs: dict[str, tuple] | None = None,
+    post_filter: str | None = None,
+    round_decimals: int | None = None,
+    exhaustive: bool = True,
+):
+    """§3.3 — the crate's ``searcher.agg_search``: ONE matched-set scan
+    feeding top-k hits + every aggregation (C13/C14 composition).
+
+    ``bucket_aggs``: name -> ("terms", field, size, [subs]) |
+    ("histogram", field, interval, offset, [subs]) |
+    ("range", field, edges, [subs]).
+
+    ``post_filter`` (C9): SQL predicate applied to hits ONLY — every
+    aggregation still sees the pre-filter matched set (faceted-search UX).
+
+    Returns dict with "hits" plus one DataFrame per aggregation.
+    """
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    query = parse_query(query_str)
+    matched = matched_docs(index, query, exhaustive=exhaustive, k=k)
+    enriched = matched.join(index.doc_meta, "doc_id").persist()
+
+    hit_src = enriched.filter(post_filter) if post_filter else enriched
+    out: dict[str, DataFrame] = {
+        "hits": top_k(hit_src.select("doc_id", "score"), k, round_decimals)
+    }
+    if metric_aggs:
+        out["metrics"] = metrics_agg(enriched, metric_aggs)
+    for name, spec in (bucket_aggs or {}).items():
+        kind = spec[0]
+        if kind == "terms":
+            _, fld, size, subs = spec
+            out[name] = terms_agg(enriched, fld, size, subs)
+        elif kind == "histogram":
+            _, fld, interval, offset, subs = spec
+            out[name] = histogram_agg(enriched, fld, interval, offset, subs)
+        elif kind == "range":
+            _, fld, edges, subs = spec
+            out[name] = range_agg(enriched, fld, edges, subs)
+        else:
+            raise ValueError(f"unknown bucket agg kind {kind!r}")
+    return out

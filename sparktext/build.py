@@ -1,0 +1,266 @@
+"""Index build pipeline (SURVEY.md A3, A4, A6, A7, A8, A12; §3.1).
+
+Corpus contract (BASELINE.json input_hint): an Iceberg-shaped table with
+columns ``(repo, path, commit, lang, content)`` — plus optionally a caller
+supplied dense ``doc_id``. The build:
+
+1. attaches ``sha = sha2(content, 256)`` (the per-row invariant carried
+   through every doc-mapped table),
+2. assigns deterministic dense ``doc_id`` (order by repo, path, commit)
+   when absent, using the scalable two-phase pattern (per-partition
+   row_number + collected partition offsets — no global window),
+3. assigns ``segment_id = doc_id // ceil(N / num_segments)`` (contiguous
+   doc ranges per segment: cheap gap encoding, disjoint segment ranges,
+   trivially mergeable),
+4. ONE tokenize pass per document (mapInPandas, Arrow batches, vectorized
+   pandas inside): emits posting rows AND doc-length rows from the same
+   scan, persisted so the doc_meta/postings/term_dict branches share it —
+   the Spark idiom for tantivy's single indexing pass,
+5. per-(segment, term) sorted posting lists, chunked into 128-doc blocks
+   with delta+FOR/varint compression and inline fieldnorm bytes
+   (:mod:`sparktext.codec`),
+6. a global ``term_dict(term, doc_freq, total_tf)`` — the broadcast-side
+   statistics for BM25 — plus corpus stats (num_docs, total_tokens).
+
+Scale notes: posting-group size is bounded by the segment size, so the
+applyInPandas groups can't blow up on heavy terms (§4.7 skew bound);
+``term_bucket = pmod(xxhash64(term), n_buckets)`` is written as a parquet
+partition column so query-time term filters prune files (§4.1). Postings
+are keyed by the term STRING (no dense term-id indirection) — a global
+dense term-id assignment would need an extra near-global sort at 10^12
+scale for zero query-time benefit when the dictionary is broadcast anyway.
+
+Persisted layout under ``index_dir`` (A12): ``postings/`` (parquet,
+partitioned by term_bucket), ``doc_meta/``, ``term_dict/``, ``stats/``,
+``_manifest/`` + ``_metrics/`` (lineage: one row per segment-group with
+row/byte counts, an xxhash64 input fingerprint and wall-clock). Builds are
+resumable: completed segment-groups recorded in the manifest are skipped
+on re-run (see :func:`build_index` ``resume``).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparktext import codec
+from sparktext.fieldnorm import fieldnorm_to_id
+from sparktext.tokenizer import tokenize_flat
+
+DEFAULT_N_BUCKETS = 16
+
+CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
+
+_TOKENS_SCHEMA = (
+    "kind tinyint, segment_id int, doc_id long, term string, tf int, doc_len int"
+)
+
+
+@dataclass
+class IndexStats:
+    num_docs: int
+    total_tokens: int
+
+    @property
+    def avg_len(self) -> float:
+        # tantivy's BM25 average fieldnorm: exact total token count / docs.
+        return self.total_tokens / max(1, self.num_docs)
+
+
+@dataclass
+class Index:
+    """The queryable index: three DataFrames + scalar stats."""
+
+    doc_meta: DataFrame  # doc_id, segment_id, repo, path, commit, lang, doc_len, norm_id, sha
+    postings: DataFrame  # BLOCK_SCHEMA + term_bucket
+    term_dict: DataFrame  # term, doc_freq, total_tf
+    stats: IndexStats
+    n_buckets: int = DEFAULT_N_BUCKETS
+
+
+def with_sha(corpus: DataFrame) -> DataFrame:
+    """Attach the per-row content sha256 invariant column."""
+    if "sha" in corpus.columns:
+        return corpus
+    return corpus.withColumn("sha", F.sha2(F.col("content"), 256))
+
+
+def assign_doc_ids(corpus: DataFrame, num_partitions: int) -> DataFrame:
+    """Deterministic dense doc_id ordered by (repo, path, commit).
+
+    Two-phase (scales to arbitrary row counts — no single-partition
+    window): range-partition on the key, per-partition row_number, then add
+    collected cumulative partition offsets via a broadcast join.
+    """
+    if "doc_id" in corpus.columns:
+        return corpus
+    ranged = corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = ranged.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    spark = corpus.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
+def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one tokenize pass -> posting rows + meta rows.
+
+    kind=0 rows: (segment_id, doc_id, term, tf, doc_len) — one per distinct
+    (doc, term). kind=1 rows: (segment_id, doc_id, doc_len) — one per doc
+    (term null), so zero-token docs still reach doc_meta.
+    """
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        row_idx, terms = tokenize_flat(pdf["content"])
+        doc_ids = pdf["doc_id"].to_numpy()
+        seg_ids = pdf["segment_id"].to_numpy()
+        doc_len = np.zeros(n, dtype=np.int64)
+        if row_idx.size:
+            np.add.at(doc_len, row_idx, 1)
+            tok = pd.DataFrame({"i": row_idx, "term": terms})
+            grp = tok.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+            gi = grp["i"].to_numpy()
+            postings = pd.DataFrame(
+                {
+                    "kind": np.zeros(len(grp), dtype=np.int8),
+                    "segment_id": seg_ids[gi],
+                    "doc_id": doc_ids[gi],
+                    "term": grp["term"].to_numpy(),
+                    "tf": grp["tf"].to_numpy().astype(np.int32),
+                    "doc_len": doc_len[gi],
+                }
+            )
+        else:
+            postings = None
+        meta = pd.DataFrame(
+            {
+                "kind": np.ones(n, dtype=np.int8),
+                "segment_id": seg_ids,
+                "doc_id": doc_ids,
+                "term": pd.Series([None] * n, dtype="object"),
+                "tf": np.zeros(n, dtype=np.int32),
+                "doc_len": doc_len,
+            }
+        )
+        yield pd.concat([postings, meta], ignore_index=True) if postings is not None else meta
+
+
+def _build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas worker: one (segment, term) group -> encoded blocks."""
+    segment_id, term = key
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order]
+    tfs = pdf["tf"].to_numpy()[order]
+    norm_ids = fieldnorm_to_id(pdf["doc_len"].to_numpy()[order])
+    rows = codec.encode_blocks(doc_ids, tfs, norm_ids)
+    out = pd.DataFrame(rows)
+    out.insert(0, "segment_id", np.int32(segment_id))
+    out.insert(1, "term", term)
+    return out
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    num_segments: int | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    index_dir: str | None = None,
+    resume: bool = False,
+    num_groups: int = 1,
+) -> Index:
+    """Build the full index from a canonical corpus DataFrame.
+
+    In-memory mode (``index_dir=None``): returns an :class:`Index` whose
+    DataFrames are persisted (MEMORY_AND_DISK). Persisted mode: writes the
+    A12 layout with manifest/metrics and supports ``resume``.
+    """
+    if index_dir is not None:
+        from sparktext.manifest import build_persistent_index
+
+        return build_persistent_index(
+            spark, corpus, index_dir, num_segments=num_segments,
+            n_buckets=n_buckets, resume=resume, num_groups=num_groups,
+        )
+
+    if num_segments is None:
+        num_segments = max(4, spark.sparkContext.defaultParallelism)
+    corpus = with_sha(corpus)
+    corpus = assign_doc_ids(corpus, num_segments)
+    n_docs = corpus.count()
+    seg_size = max(1, math.ceil(n_docs / num_segments))
+    corpus = corpus.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+    corpus = corpus.persist()
+
+    tokens = (
+        corpus.select("doc_id", "segment_id", "content")
+        .repartition(num_segments, "segment_id")
+        .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+        .persist()
+    )
+
+    posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
+    meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+
+    # A6: global term statistics. groupBy is algebraic -> Spark's partial
+    # (map-side) aggregation already defuses term skew for these sums.
+    term_dict = (
+        posting_rows.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"), F.sum("tf").alias("total_tf"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .persist()
+    )
+
+    postings = (
+        posting_rows.repartition(num_segments * 4, "segment_id", "term")
+        .groupBy("segment_id", "term")
+        .applyInPandas(_build_blocks, schema=codec.BLOCK_SCHEMA)
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .persist()
+    )
+
+    norm_udf = F.pandas_udf(
+        lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
+    )
+    doc_meta = (
+        corpus.join(meta_rows, "doc_id")
+        .withColumn("norm_id", norm_udf(F.col("doc_len")))
+        .select(
+            "doc_id", "segment_id", "repo", "path", "commit", "lang",
+            "doc_len", "norm_id", "sha",
+            *(["n_chars"] if "n_chars" in corpus.columns else []),
+        )
+        .persist()
+    )
+
+    total_tokens = meta_rows.agg(F.sum("doc_len")).collect()[0][0] or 0
+    stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))
+    return Index(doc_meta=doc_meta, postings=postings, term_dict=term_dict,
+                 stats=stats, n_buckets=n_buckets)

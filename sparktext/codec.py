@@ -1,0 +1,179 @@
+"""Posting-list block codec (SURVEY.md A5, §4.2).
+
+Layout replicates the public tantivy/Lucene posting shape: postings for one
+(segment, term) are split into blocks of up to 128 docs; within a block,
+sorted doc ids are delta-encoded (gap-1, since ids are strictly increasing)
+and FOR-bitpacked; term frequencies are varint-encoded (tf-1, since tf>=1);
+per-doc fieldnorm ids ride along as raw bytes (Lucene "impacts" style) so
+BM25 scoring needs NO join against a doc-meta table. Each block row carries
+``max_tf``/``min_norm_id`` — the block-max statistics that feed block-max
+WAND pruning (B10).
+
+All encode/decode is numpy-vectorized (bounded byte-width loops only) and
+runs inside Arrow-batched pandas UDFs — no per-row Python at the Spark
+level (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+BLOCK_SIZE = 128
+
+#: Spark schema (DDL) of one encoded posting block row.
+BLOCK_SCHEMA = (
+    "segment_id int, term string, block_id int, count int, "
+    "first_doc long, last_doc long, max_tf int, sum_tf long, min_norm_id int, "
+    "doc_bits int, doc_bytes binary, tf_bytes binary, norm_bytes binary"
+)
+
+
+# ---------------------------------------------------------------- varint ---
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encode a uint64 array (vectorized, <=10 byte passes)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    nbytes = np.ones(vals.size, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v = v >> np.uint64(7)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for b in range(int(nbytes.max())):
+        mask = nbytes > b
+        byte = ((vals[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] > b + 1).astype(np.uint8)) << 7
+        out[starts[mask] + b] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 varints -> uint64 array (vectorized)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((arr & 0x80) == 0)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    width = int((ends - starts).max()) + 1
+    for j in range(width):
+        pos = starts + j
+        mask = pos <= ends
+        vals[mask] |= (arr[pos[mask]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    if count is not None and ends.size != count:
+        raise ValueError(f"varint stream held {ends.size} values, expected {count}")
+    return vals
+
+
+# ------------------------------------------------------------ FOR bitpack ---
+
+
+def for_pack(values: np.ndarray) -> tuple[int, bytes]:
+    """Frame-of-reference bitpack: uint array -> (bit_width, bytes)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return 0, b""
+    bits = max(1, int(vals.max()).bit_length())
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return bits, np.packbits(bitmat.ravel()).tobytes()
+
+
+def for_unpack(data: bytes, bits: int, count: int) -> np.ndarray:
+    """Inverse of :func:`for_pack`."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=count * bits)
+    bitmat = bitarr.reshape(count, bits).astype(np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    return (bitmat << shifts).sum(axis=1).astype(np.uint64)
+
+
+# ----------------------------------------------------------------- blocks ---
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, norm_ids: np.ndarray
+) -> list[dict]:
+    """Encode one (segment, term) posting list into <=128-doc block rows.
+
+    ``doc_ids`` must be strictly increasing; ``tfs`` >= 1; ``norm_ids``
+    uint8. Returns dict rows matching :data:`BLOCK_SCHEMA` (minus
+    segment_id/term, which the caller owns).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_ids = np.asarray(norm_ids, dtype=np.uint8)
+    rows = []
+    for b, i in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
+        d = doc_ids[i : i + BLOCK_SIZE]
+        t = tfs[i : i + BLOCK_SIZE]
+        nm = norm_ids[i : i + BLOCK_SIZE]
+        gaps = (np.diff(d) - 1).astype(np.uint64)  # strictly increasing -> >=0
+        doc_bits, doc_bytes = for_pack(gaps)
+        rows.append(
+            {
+                "block_id": b,
+                "count": int(d.size),
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "max_tf": int(t.max()),
+                "sum_tf": int(t.sum()),
+                "min_norm_id": int(nm.min()),
+                "doc_bits": doc_bits,
+                "doc_bytes": doc_bytes,
+                "tf_bytes": varint_encode((t - 1).astype(np.uint64)),
+                "norm_bytes": nm.tobytes(),
+            }
+        )
+    return rows
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block row (dict-like) -> (doc_ids, tfs, norm_ids)."""
+    count = int(row["count"])
+    first = int(row["first_doc"])
+    gaps = for_unpack(row["doc_bytes"], int(row["doc_bits"]), count - 1)
+    doc_ids = np.empty(count, dtype=np.int64)
+    doc_ids[0] = first
+    if count > 1:
+        doc_ids[1:] = first + np.cumsum(gaps.astype(np.int64) + 1)
+    tfs = (varint_decode(row["tf_bytes"], count) + 1).astype(np.int64)
+    norm_ids = np.frombuffer(row["norm_bytes"], dtype=np.uint8).astype(np.int64)
+    return doc_ids, tfs, norm_ids
+
+
+def decode_blocks_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode a batch of block rows -> flat (segment_id, term, doc_id, tf,
+    norm_id) pandas frame. Used inside mapInPandas at query time."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {
+                "segment_id": pd.Series(dtype="int32"),
+                "term": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+                "norm_id": pd.Series(dtype="int64"),
+            }
+        )
+    docs, tfs, norms = [], [], []
+    for row in pdf.to_dict("records"):
+        d, t, n = decode_block(row)
+        docs.append(d)
+        tfs.append(t)
+        norms.append(n)
+    counts = pdf["count"].to_numpy()
+    return pd.DataFrame(
+        {
+            "segment_id": np.repeat(pdf["segment_id"].to_numpy(), counts),
+            "term": np.repeat(pdf["term"].to_numpy(), counts),
+            "doc_id": np.concatenate(docs),
+            "tf": np.concatenate(tfs),
+            "norm_id": np.concatenate(norms),
+        }
+    )

@@ -1,0 +1,214 @@
+"""Persistent index layout, checkpoint/resume, lineage + metrics (A12).
+
+Layout under ``index_dir``::
+
+    postings/    parquet, partitioned by term_bucket (query-time pruning)
+                 + group_id (checkpoint granularity)
+    doc_meta/    parquet, partitioned by group_id
+    term_dict/   parquet (finalize output, derived from block headers)
+    stats.json   num_docs, total_tokens, n_buckets, num_segments
+    _manifest/   parquet: one row per completed segment-group
+                 (group_id, n_docs, n_blocks, input_fingerprint, wall_ms,
+                  build_id, status)
+    _metrics/    parquet: per-stage rows (stage, group_id, rows, wall_ms)
+
+Resumability (BASELINE.json north_rule "resumable from checkpoint with
+per-partition lineage + metrics"): the corpus is split into
+``num_groups`` contiguous segment-groups; each group's postings+doc_meta
+write is followed by a manifest append marking it complete. A re-run with
+``resume=True`` anti-joins the group list against the manifest and only
+processes missing groups, then re-finalizes the (cheap, vocabulary-sized)
+term dictionary from all block headers. ``input_fingerprint`` is the
+xor-free sum of xxhash64(sha) over the group's docs — lineage evidence
+that a resumed build saw the same input rows (the per-row sha256 itself
+lives in doc_meta, satisfying the content-sha invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktext import codec
+from sparktext.build import (
+    DEFAULT_N_BUCKETS,
+    Index,
+    IndexStats,
+    _build_blocks,
+    _tokenize_partition,
+    _TOKENS_SCHEMA,
+    assign_doc_ids,
+    term_bucket_col,
+    with_sha,
+)
+
+
+def _read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = os.path.join(index_dir, "_manifest")
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def build_persistent_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    num_segments: int | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    resume: bool = False,
+    num_groups: int = 4,
+) -> Index:
+    """Checkpointed build: per-group postings/doc_meta writes + manifest."""
+    if num_segments is None:
+        num_segments = max(4, spark.sparkContext.defaultParallelism)
+    build_id = uuid.uuid4().hex[:12]
+
+    corpus = with_sha(corpus)
+    corpus = assign_doc_ids(corpus, num_segments)
+    n_docs = corpus.count()
+    seg_size = max(1, math.ceil(n_docs / num_segments))
+    segs_per_group = max(1, math.ceil(num_segments / num_groups))
+    corpus = (
+        corpus.withColumn("segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
+        .withColumn("group_id", (F.col("segment_id") / F.lit(segs_per_group)).cast("int"))
+        .persist()
+    )
+
+    done: set[int] = set()
+    manifest = _read_manifest(spark, index_dir) if resume else None
+    if manifest is not None:
+        done = {
+            r["group_id"]
+            for r in manifest.filter(F.col("status") == "complete").select("group_id").collect()
+        }
+
+    all_groups = list(range(num_groups))
+    todo = [g for g in all_groups if g not in done]
+    postings_path = os.path.join(index_dir, "postings")
+    doc_meta_path = os.path.join(index_dir, "doc_meta")
+    metrics_path = os.path.join(index_dir, "_metrics")
+    manifest_path = os.path.join(index_dir, "_manifest")
+
+    from sparktext.fieldnorm import fieldnorm_to_id
+    import numpy as np
+    import pandas as pd
+
+    norm_udf = F.pandas_udf(
+        lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
+    )
+
+    for g in todo:
+        t0 = time.time()
+        sub = corpus.filter(F.col("group_id") == g)
+        tokens = (
+            sub.select("doc_id", "segment_id", "content")
+            .repartition(segs_per_group, "segment_id")
+            .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+            .persist()
+        )
+        posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
+        meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+
+        blocks = (
+            posting_rows.repartition(segs_per_group * 4, "segment_id", "term")
+            .groupBy("segment_id", "term")
+            .applyInPandas(_build_blocks, schema=codec.BLOCK_SCHEMA)
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+            .withColumn("group_id", F.lit(g))
+        )
+        _append(blocks, postings_path, ["group_id", "term_bucket"])
+
+        dm = (
+            sub.join(meta_rows, "doc_id")
+            .withColumn("norm_id", norm_udf(F.col("doc_len")))
+            .select(
+                "doc_id", "segment_id", "repo", "path", "commit", "lang",
+                "doc_len", "norm_id", "sha", "group_id",
+                *(["n_chars"] if "n_chars" in sub.columns else []),
+            )
+        )
+        _append(dm, doc_meta_path, ["group_id"])
+
+        # Order-insensitive input fingerprint: sum of per-row hashes in
+        # unbounded decimal (ANSI-safe), folded back into a long.
+        agg = sub.agg(
+            F.count("*").alias("n"),
+            F.pmod(
+                F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62)
+            ).cast("long").alias("fp"),
+        ).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
+        man_row = spark.createDataFrame(
+            [(int(g), int(agg["n"]), int(agg["fp"] or 0), wall_ms, build_id, "complete")],
+            "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
+            "build_id string, status string",
+        )
+        _append(man_row, manifest_path)
+        met = spark.createDataFrame(
+            [
+                ("tokenize+blocks", int(g), int(agg["n"]), wall_ms, build_id),
+            ],
+            "stage string, group_id int, rows long, wall_ms long, build_id string",
+        )
+        _append(met, metrics_path)
+        tokens.unpersist()
+
+    # Finalize: term dictionary + stats from what's on disk (covers both
+    # fresh and resumed builds uniformly).
+    t0 = time.time()
+    postings = spark.read.parquet(postings_path)
+    term_dict = (
+        postings.groupBy("term")
+        .agg(
+            F.sum("count").alias("doc_freq"),
+            F.sum("sum_tf").alias("total_tf"),
+            F.max("term_bucket").alias("term_bucket"),
+        )
+    )
+    term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+    doc_meta = spark.read.parquet(doc_meta_path)
+    srow = doc_meta.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tt")
+    ).collect()[0]
+    stats = {
+        "num_docs": int(srow["n"]),
+        "total_tokens": int(srow["tt"] or 0),
+        "n_buckets": n_buckets,
+        "num_segments": num_segments,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    met = spark.createDataFrame(
+        [("finalize", -1, int(srow["n"]), int((time.time() - t0) * 1000), build_id)],
+        "stage string, group_id int, rows long, wall_ms long, build_id string",
+    )
+    _append(met, metrics_path)
+    corpus.unpersist()
+    return load_index(spark, index_dir)
+
+
+def load_index(spark: SparkSession, index_dir: str) -> Index:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        st = json.load(f)
+    return Index(
+        doc_meta=spark.read.parquet(os.path.join(index_dir, "doc_meta")),
+        postings=spark.read.parquet(os.path.join(index_dir, "postings")),
+        term_dict=spark.read.parquet(os.path.join(index_dir, "term_dict")),
+        stats=IndexStats(num_docs=st["num_docs"], total_tokens=st["total_tokens"]),
+        n_buckets=st["n_buckets"],
+    )

@@ -1,0 +1,131 @@
+"""Query AST, parser and boolean matching (SURVEY.md B1–B7).
+
+Query syntax (a small subset of tantivy's public query language):
+``spark fast`` — two SHOULD terms (OR/union, scores summed);
+``+spark data`` — ``spark`` is MUST (required), ``data`` SHOULD;
+``-slow`` — MUST_NOT (excluded, contributes no score);
+terms are run through the same default tokenizer as indexing (A1), so a
+clause may expand to several tokens (each inheriting the clause occur).
+
+Matching semantics (tantivy BooleanQuery):
+- only SHOULD clauses: a doc matches if it contains >= 1 should term;
+- any MUST clauses: a doc must contain ALL must terms; should terms are
+  optional and only add score;
+- MUST_NOT: excluded docs, never scored.
+Scores: sum of per-(doc, term) BM25 partials over should+must terms (B3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktext import codec
+from sparktext.score import bm25_score_col, term_stats
+from sparktext.tokenizer import tokenize_text
+
+
+@dataclass
+class Query:
+    should: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+
+    @property
+    def scored_terms(self) -> list[str]:
+        seen, out = set(), []
+        for t in self.must + self.should:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+
+def parse_query(qstr: str) -> Query:
+    """B1: query string -> :class:`Query` AST."""
+    q = Query()
+    for clause in (qstr or "").split():
+        occur = "should"
+        if clause.startswith("+"):
+            occur, clause = "must", clause[1:]
+        elif clause.startswith("-"):
+            occur, clause = "must_not", clause[1:]
+        toks = tokenize_text(clause)
+        getattr(q, occur).extend(toks)
+    return q
+
+
+def _decode_postings(blocks: DataFrame) -> DataFrame:
+    """Decode filtered block rows -> (segment_id, term, doc_id, tf, norm_id)."""
+    return blocks.select(
+        "segment_id", "term", "count", "first_doc",
+        "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes",
+    ).mapInPandas(
+        lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
+        schema="segment_id int, term string, doc_id long, tf long, norm_id long",
+    )
+
+
+def postings_for_terms(index, terms: list[str], stats_map: dict | None = None) -> DataFrame:
+    """Partition-pruned scan of posting blocks for the given terms.
+
+    The filter hits the ``term_bucket`` parquet partition column first
+    (file pruning, §4.1) and the term string second (row-group pruning via
+    parquet min/max on the sorted term column).
+    """
+    if stats_map is None:
+        stats_map = term_stats(index, terms)
+    buckets = sorted({stats_map[t]["term_bucket"] for t in terms if t in stats_map})
+    present = [t for t in terms if t in stats_map]
+    if not present:
+        return index.postings.filter(F.lit(False))
+    return index.postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+    )
+
+
+def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = None) -> DataFrame:
+    """B2–B5: evaluate the boolean query -> DataFrame(doc_id, score).
+
+    ``exhaustive=False`` enables block-max WAND pruning (B10) for
+    should-only top-k queries — identical results, fewer decoded blocks
+    (requires ``k``). Everything else uses the exhaustive path.
+    """
+    stats_map = term_stats(index, query.scored_terms + query.must_not)
+    # A MUST term absent from the dictionary -> empty result, by definition.
+    if any(t not in stats_map for t in query.must):
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    if not exhaustive and not query.must and not query.must_not and k:
+        from sparktext.score import wand_candidate_blocks
+
+        blocks = wand_candidate_blocks(index, query.scored_terms, k, stats_map)
+    else:
+        blocks = postings_for_terms(index, query.scored_terms, stats_map)
+
+    scored = _decode_postings(blocks)
+    scored = scored.withColumn(
+        "partial", bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id"))
+    )
+
+    aggs = [F.sum("partial").alias("score")]
+    if query.must:
+        must_set = set(query.must)
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("term").isin(list(must_set)), F.col("term"))
+            ).alias("_must_hits")
+        )
+    grouped = scored.groupBy("doc_id").agg(*aggs)
+    if query.must:
+        grouped = grouped.filter(F.col("_must_hits") == len(set(query.must))).drop("_must_hits")
+
+    mn_present = [t for t in query.must_not if t in stats_map]
+    if mn_present:
+        excl = _decode_postings(postings_for_terms(index, mn_present, stats_map)).select("doc_id").distinct()
+        grouped = grouped.join(excl, "doc_id", "left_anti")
+    return grouped

@@ -1,0 +1,145 @@
+"""BM25 scoring (B8) and block-max WAND pruning (B10).
+
+BM25 exactly as tantivy's public formula (k1=1.2, b=0.75):
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, t)  = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+where ``dl`` is the DECODED QUANTIZED fieldnorm (sparktext.fieldnorm §4.5)
+and ``avgdl`` the exact corpus mean token count. The score is a pure
+column expression over decoded postings — whole-stage-codegen'd, no UDF.
+
+Block-max WAND here is a *data-parallel two-phase* reformulation of
+tantivy's document-at-a-time algorithm (no Catalyst equivalent, §4.3):
+
+- every block row carries (max_tf, min_norm_id); its score upper bound is
+  the BM25 formula evaluated at tf=max_tf, dl=decode(min_norm_id) — BM25
+  is increasing in tf and decreasing in dl, so this bounds any doc in it;
+- phase 1 decodes only the few highest-bound blocks per term and scores
+  them exactly; the k-th best *partial* score is a valid lower bound θ of
+  the final k-th best score;
+- phase 2 keeps block B of term t iff ub(B) + Σ_{t'≠t} global_ub(t') >= θ.
+  Any doc all of whose blocks are pruned has true score < θ and cannot
+  enter the top-k; a doc with SOME pruned block already has true score
+  < θ (the prune condition bounds its total), so its underestimated score
+  cannot displace a true top-k member. Results are therefore identical to
+  exhaustive scoring (asserted in tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparktext.fieldnorm import FIELDNORM_TABLE
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(num_docs: int, doc_freq: int) -> float:
+    return math.log(1.0 + (num_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def term_stats(index, terms: list[str]) -> dict[str, dict]:
+    """Driver-side lookup of per-term statistics from the term dictionary.
+
+    The term_dict is tiny relative to the corpus (vocabulary-sized); a
+    filtered collect of <= len(terms) rows is the broadcast-dictionary
+    pattern of BASELINE.json north_star ("document-frequency/length
+    statistics carried in a broadcast term dictionary").
+    """
+    uniq = sorted(set(t for t in terms if t))
+    if not uniq:
+        return {}
+    rows = index.term_dict.filter(F.col("term").isin(uniq)).collect()
+    n = index.stats.num_docs
+    return {
+        r["term"]: {
+            "doc_freq": r["doc_freq"],
+            "total_tf": r["total_tf"],
+            "term_bucket": r["term_bucket"],
+            "idf": idf(n, r["doc_freq"]),
+        }
+        for r in rows
+    }
+
+
+def _decoded_norm_col(norm_id_col: Column) -> Column:
+    """norm_id -> quantized doc length via a 256-literal array lookup
+    (stays inside whole-stage codegen; no UDF)."""
+    table = F.array(*[F.lit(int(v)) for v in FIELDNORM_TABLE])
+    return F.element_at(table, norm_id_col.cast("int") + 1).cast("double")
+
+
+def _idf_map_col(stats_map: dict[str, dict], term_col: Column) -> Column:
+    pairs = []
+    for t, s in stats_map.items():
+        pairs.extend([F.lit(t), F.lit(float(s["idf"]))])
+    return F.element_at(F.create_map(*pairs), term_col)
+
+
+def bm25_score_col(index, stats_map, term_col, tf_col, norm_id_col) -> Column:
+    """The B8 score as a single column expression."""
+    avgdl = float(index.stats.avg_len)
+    dl = _decoded_norm_col(norm_id_col)
+    tf = tf_col.cast("double")
+    idf_c = _idf_map_col(stats_map, term_col)
+    return idf_c * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+
+
+def block_ub_col(index, stats_map) -> Column:
+    """Per-block score upper bound from (max_tf, min_norm_id)."""
+    avgdl = float(index.stats.avg_len)
+    dl = _decoded_norm_col(F.col("min_norm_id"))
+    tf = F.col("max_tf").cast("double")
+    idf_c = _idf_map_col(stats_map, F.col("term"))
+    return idf_c * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+
+
+def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:
+    """Phase-1+2 block pruning; returns the surviving block rows.
+
+    Survivors always include the seed blocks, so the downstream decode is
+    a superset of what θ was derived from.
+    """
+    from sparktext.query import postings_for_terms  # local import: cycle
+
+    if stats_map is None:
+        stats_map = term_stats(index, terms)
+    blocks = postings_for_terms(index, terms, stats_map)
+    blocks = blocks.withColumn("_ub", block_ub_col(index, stats_map))
+
+    seeds_per_term = max(1, math.ceil(k / 128)) + 1
+    w = Window.partitionBy("term").orderBy(F.desc("_ub"), F.asc("segment_id"), F.asc("block_id"))
+    blocks = blocks.withColumn("_seed", F.row_number().over(w) <= seeds_per_term).persist()
+
+    # Phase 1: exact partial scores over seed blocks -> θ.
+    from sparktext import codec
+
+    seed_decoded = (
+        blocks.filter("_seed")
+        .select("segment_id", "term", "count", "first_doc",
+                "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
+        .mapInPandas(
+            lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
+            schema="segment_id int, term string, doc_id long, tf long, norm_id long",
+        )
+        .withColumn("partial", bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")))
+        .groupBy("doc_id").agg(F.sum("partial").alias("s"))
+        .orderBy(F.desc("s")).limit(k).collect()
+    )
+    theta = float(seed_decoded[-1]["s"]) if len(seed_decoded) >= k else 0.0
+
+    # Phase 2: prune blocks whose bound can't reach θ.
+    gub_rows = blocks.groupBy("term").agg(F.max("_ub").alias("g")).collect()
+    gub = {r["term"]: float(r["g"]) for r in gub_rows}
+    total_gub = sum(gub.values())
+    other_pairs = []
+    for t, g in gub.items():
+        other_pairs.extend([F.lit(t), F.lit(total_gub - g)])
+    other_col = F.element_at(F.create_map(*other_pairs), F.col("term"))
+    survivors = blocks.filter(F.col("_seed") | (F.col("_ub") + other_col >= F.lit(theta)))
+    return survivors.drop("_ub", "_seed")

@@ -1,0 +1,177 @@
+"""C1–C14 collector tests against hand-computed fruits (SURVEY.md §5)."""
+
+import pytest
+
+from tests.conftest import MICRO_DOCS
+
+DOCS = {d[0]: d[5] for d in MICRO_DOCS}
+LANG = {d[0]: d[4] for d in MICRO_DOCS}
+NCHARS = {d[0]: d[6] for d in MICRO_DOCS}
+HEAVY_DOCS = sorted(d for d in DOCS if "heavy" in DOCS[d].split())
+
+
+@pytest.fixture(scope="module")
+def matched(spark, micro_index):
+    """The crate's agg entry: aggregations run over a matched doc set."""
+    from sparktext.query import matched_docs, parse_query
+
+    m = matched_docs(micro_index, parse_query("heavy"))
+    return m.join(micro_index.doc_meta, "doc_id").persist()
+
+
+def test_count_min_max_sum_avg_stats_one_pass(matched):
+    from sparktext.aggs import (
+        AvgAgg, CountAgg, MaxAgg, MinAgg, StatsAgg, SumAgg, metrics_agg,
+    )
+
+    row = metrics_agg(
+        matched,
+        [CountAgg(), MinAgg("n_chars"), MaxAgg("n_chars"), SumAgg("n_chars"),
+         AvgAgg("n_chars"), StatsAgg("doc_len")],
+    ).collect()[0]
+    vals = [NCHARS[d] for d in HEAVY_DOCS]
+    assert row["count"] == len(HEAVY_DOCS)
+    assert row["min_n_chars"] == min(vals)
+    assert row["max_n_chars"] == max(vals)
+    assert row["sum_n_chars"] == sum(vals)
+    assert row["avg_n_chars"] == pytest.approx(sum(vals) / len(vals))
+    lens = [len(DOCS[d].split()) for d in HEAVY_DOCS]
+    assert row["doc_len_count"] == len(lens)
+    assert row["doc_len_sum"] == sum(lens)
+    assert row["doc_len_min"] == min(lens)
+    assert row["doc_len_max"] == max(lens)
+    assert row["doc_len_avg"] == pytest.approx(sum(lens) / len(lens))
+
+
+def test_empty_set_semantics(spark, micro_index):
+    from sparktext.aggs import AvgAgg, CountAgg, MinAgg, SumAgg, metrics_agg
+    from sparktext.query import matched_docs, parse_query
+
+    m = matched_docs(micro_index, parse_query("zzzmissing"))
+    m = m.join(micro_index.doc_meta, "doc_id")
+    row = metrics_agg(m, [CountAgg(), MinAgg("n_chars"), SumAgg("n_chars"), AvgAgg("n_chars")]).collect()[0]
+    assert row["count"] == 0
+    assert row["min_n_chars"] is None  # Option<min> = None
+    assert row["sum_n_chars"] == 0  # sum = 0 on empty
+    assert row["avg_n_chars"] is None
+
+
+def test_terms_agg_counts_and_topn(matched):
+    from sparktext.aggs import MaxAgg, terms_agg
+
+    rows = terms_agg(matched, "lang", size=None, sub_aggs=[MaxAgg("n_chars")]).collect()
+    got = {r["lang"]: (r["count"], r["max_n_chars"]) for r in rows}
+    exp = {}
+    for d in HEAVY_DOCS:
+        c, mx = exp.get(LANG[d], (0, 0))
+        exp[LANG[d]] = (c + 1, max(mx, NCHARS[d]))
+    assert got == exp
+
+    top1 = terms_agg(matched, "lang", size=1).collect()
+    best = max(exp.items(), key=lambda kv: (kv[1][0], -ord(kv[0][0])))
+    assert len(top1) == 1 and top1[0]["lang"] == best[0]
+
+
+def test_terms_agg_tie_break_key_asc(matched):
+    from sparktext.aggs import terms_agg
+
+    rows = terms_agg(matched, "repo", size=2).collect()
+    exp_counts = {}
+    for d in HEAVY_DOCS:
+        r = next(x[1] for x in MICRO_DOCS if x[0] == d)
+        exp_counts[r] = exp_counts.get(r, 0) + 1
+    order = sorted(exp_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["repo"], r["count"]) for r in rows] == order
+
+
+def test_histogram_agg(matched):
+    from sparktext.aggs import histogram_agg
+
+    rows = histogram_agg(matched, "n_chars", interval=10.0).collect()
+    exp = {}
+    for d in HEAVY_DOCS:
+        b = (NCHARS[d] // 10) * 10
+        exp[float(b)] = exp.get(float(b), 0) + 1
+    assert {r["bucket"]: r["count"] for r in rows} == exp
+
+
+def test_histogram_offset(matched):
+    from sparktext.aggs import histogram_agg
+
+    rows = histogram_agg(matched, "n_chars", interval=10.0, offset=5.0).collect()
+    exp = {}
+    for d in HEAVY_DOCS:
+        b = ((NCHARS[d] - 5) // 10) * 10 + 5
+        exp[float(b)] = exp.get(float(b), 0) + 1
+    assert {r["bucket"]: r["count"] for r in rows} == exp
+
+
+def test_range_agg(matched):
+    from sparktext.aggs import range_agg
+
+    rows = range_agg(matched, "n_chars", edges=[18, 24]).collect()
+    got = {r["range_key"]: r["count"] for r in rows}
+    exp = {}
+    for d in HEAVY_DOCS:
+        v = NCHARS[d]
+        key = "*-18" if v < 18 else ("18-24" if v < 24 else "24-*")
+        exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+
+
+def test_filter_agg_no_second_scan(matched):
+    from sparktext.aggs import CountAgg, FilterAgg, SumAgg, metrics_agg
+
+    row = metrics_agg(
+        matched,
+        [CountAgg(name="total"),
+         FilterAgg("lang = 'py'", (CountAgg(name="py_count"), SumAgg("n_chars", name="py_sum")))],
+    ).collect()[0]
+    py = [d for d in HEAVY_DOCS if LANG[d] == "py"]
+    assert row["total"] == len(HEAVY_DOCS)
+    assert row["py_count"] == len(py)
+    assert row["py_sum"] == sum(NCHARS[d] for d in py)
+
+
+def test_percentiles_exact(matched):
+    import numpy as np
+
+    from sparktext.aggs import PercentilesAgg, metrics_agg
+
+    row = metrics_agg(matched, [PercentilesAgg("n_chars", (0.5, 0.9))]).collect()[0]
+    vals = np.array(sorted(NCHARS[d] for d in HEAVY_DOCS), dtype=float)
+    assert row["n_chars_p50"] == pytest.approx(np.percentile(vals, 50))
+    assert row["n_chars_p90"] == pytest.approx(np.percentile(vals, 90))
+
+
+def test_agg_search_fused(micro_index):
+    from sparktext.aggs import CountAgg, StatsAgg, agg_search
+
+    out = agg_search(
+        micro_index,
+        "heavy",
+        k=3,
+        metric_aggs=[CountAgg(), StatsAgg("n_chars")],
+        bucket_aggs={
+            "by_lang": ("terms", "lang", 5, []),
+            "hist": ("histogram", "n_chars", 10.0, 0.0, []),
+        },
+    )
+    assert set(out) == {"hits", "metrics", "by_lang", "hist"}
+    assert out["hits"].count() == 3
+    assert out["metrics"].collect()[0]["count"] == len(HEAVY_DOCS)
+    assert out["by_lang"].count() == 2
+
+
+def test_post_filter(micro_index):
+    from sparktext.aggs import CountAgg, agg_search
+
+    out = agg_search(
+        micro_index, "heavy", k=12,
+        metric_aggs=[CountAgg()],
+        post_filter="lang = 'rs'",
+    )
+    # hits restricted to rs docs; metrics still see the full matched set
+    hit_docs = {r["doc_id"] for r in out["hits"].collect()}
+    assert hit_docs == {d for d in HEAVY_DOCS if LANG[d] == "rs"}
+    assert out["metrics"].collect()[0]["count"] == len(HEAVY_DOCS)

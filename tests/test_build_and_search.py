@@ -1,0 +1,131 @@
+"""End-to-end: index build, term dict, sha invariant, BM25 search,
+boolean queries, top-k tie-breaks — against the reference_impl."""
+
+import hashlib
+
+import pytest
+
+from tests.conftest import MICRO_DOCS
+from tests.reference_impl import build_ref, score_query, topk
+
+DOCS = {d[0]: d[5] for d in MICRO_DOCS}
+REF = build_ref(DOCS)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return REF
+
+
+def test_term_dict(micro_index, ref):
+    rows = {r["term"]: r for r in micro_index.term_dict.collect()}
+    assert set(rows) == set(ref["df"])
+    for term, r in rows.items():
+        assert r["doc_freq"] == ref["df"][term], term
+        assert r["total_tf"] == sum(c[term] for c in ref["tf"].values()), term
+
+
+def test_stats(micro_index, ref):
+    assert micro_index.stats.num_docs == ref["n"]
+    assert micro_index.stats.total_tokens == sum(ref["doc_len"].values())
+
+
+def test_doc_meta_and_sha_invariant(micro_index):
+    rows = {r["doc_id"]: r for r in micro_index.doc_meta.collect()}
+    assert len(rows) == len(DOCS)
+    for doc_id, content in DOCS.items():
+        r = rows[doc_id]
+        assert r["doc_len"] == len(content.split())
+        assert r["sha"] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_postings_blocks_sorted(micro_index):
+    blocks = micro_index.postings.collect()
+    seen = {}
+    for b in blocks:
+        key = (b["segment_id"], b["term"])
+        assert b["count"] >= 1
+        assert b["first_doc"] <= b["last_doc"]
+        seen.setdefault(key, []).append((b["block_id"], b["first_doc"], b["last_doc"]))
+    for key, bs in seen.items():
+        bs.sort()
+        for (b1, _, l1), (b2, f2, _) in zip(bs, bs[1:]):
+            assert l1 < f2  # blocks disjoint, increasing
+
+
+def _search(index, qstr, k=12):
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    hits = top_k(matched_docs(index, parse_query(qstr)), k)
+    return [(r["doc_id"], r["score"]) for r in hits.collect()]
+
+
+def test_single_term_scores(micro_index, ref):
+    for term in ["apple", "heavy", "unique", "grape"]:
+        got = _search(micro_index, term)
+        exp = topk(score_query(ref, [term]), 12)
+        assert [d for d, _ in got] == [d for d, _ in exp], term
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), (term, gd)
+
+
+def test_or_query(micro_index, ref):
+    got = _search(micro_index, "apple banana")
+    exp = topk(score_query(ref, ["apple", "banana"]), 12)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_must_query(micro_index, ref):
+    got = _search(micro_index, "+apple +banana")
+    expected_docs = {d for d in DOCS if "apple" in DOCS[d].split() and "banana" in DOCS[d].split()}
+    assert {d for d, _ in got} == expected_docs
+    scores = score_query(ref, ["apple", "banana"])
+    for d, s in got:
+        assert s == pytest.approx(scores[d], abs=1e-9)
+
+
+def test_must_with_should(micro_index):
+    # +grape cherry: all docs with grape; cherry adds score only.
+    got = _search(micro_index, "+grape cherry")
+    expected_docs = {d for d in DOCS if "grape" in DOCS[d].split()}
+    assert {d for d, _ in got} == expected_docs
+
+
+def test_must_not(micro_index):
+    got = _search(micro_index, "apple -banana")
+    exp_docs = {
+        d for d in DOCS
+        if "apple" in DOCS[d].split() and "banana" not in DOCS[d].split()
+    }
+    assert {d for d, _ in got} == exp_docs
+
+
+def test_missing_term(micro_index):
+    assert _search(micro_index, "zzzmissing") == []
+    assert _search(micro_index, "+zzzmissing apple") == []
+    # must_not of a missing term is a no-op
+    got = _search(micro_index, "apple -zzzmissing")
+    assert {d for d, _ in got} == {d for d in DOCS if "apple" in DOCS[d].split()}
+
+
+def test_tie_break_by_doc_id(micro_index):
+    got = _search(micro_index, "egg")
+    # docs 4 and 11... find analytic ties: same tf, same quantized len
+    scores = {}
+    for d, s in got:
+        scores.setdefault(round(s, 9), []).append(d)
+    for same in scores.values():
+        assert same == sorted(same)
+
+
+def test_hits_materialization(micro_index):
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import materialize_hits, top_k
+
+    hits = top_k(matched_docs(micro_index, parse_query("unique")), 5)
+    rows = materialize_hits(micro_index, hits).collect()
+    assert len(rows) == 1
+    assert rows[0]["path"] == "c/0.py"

@@ -1,0 +1,59 @@
+import numpy as np
+import pandas as pd
+
+from sparktext.tokenizer import (
+    TokenizerPipeline,
+    tokenize_flat,
+    tokenize_series,
+    tokenize_text,
+)
+
+
+def test_basic_split_and_lower():
+    assert tokenize_text("Hello, World!") == ["hello", "world"]
+
+
+def test_underscore_splits():
+    # Rust char::is_alphanumeric excludes '_' (unlike regex \w).
+    assert tokenize_text("foo_bar baz") == ["foo", "bar", "baz"]
+
+
+def test_digits_kept():
+    assert tokenize_text("abc123 4x5") == ["abc123", "4x5"]
+
+
+def test_long_tokens_dropped():
+    tok39 = "a" * 39
+    tok40 = "a" * 40
+    assert tokenize_text(f"{tok39} {tok40} ok") == [tok39, "ok"]
+
+
+def test_long_limit_is_bytes_not_chars():
+    # 20 chars of 'é' = 40 utf-8 bytes -> dropped; 19 -> kept.
+    assert tokenize_text("é" * 20) == []
+    assert tokenize_text("é" * 19) == ["é" * 19]
+
+
+def test_unicode_alnum():
+    assert tokenize_text("naïve café ΣΙΓΜΑ") == ["naïve", "café", "σιγμα"]
+
+
+def test_empty_and_null():
+    assert tokenize_text("") == []
+    assert tokenize_text("...!!!") == []
+    s = tokenize_series(pd.Series([None, "a b", ""]))
+    assert list(s) == [[], ["a", "b"], []]
+
+
+def test_flat_matches_series():
+    texts = pd.Series(["Apple pie!", "", "x_y z " + "q" * 50, None, "One two ONE"])
+    rows, toks = tokenize_flat(texts)
+    expected = tokenize_series(texts)
+    flat_expected = [(i, t) for i, ts in enumerate(expected) for t in ts]
+    assert list(zip(rows.tolist(), toks.tolist())) == flat_expected
+
+
+def test_pipeline_stopwords():
+    pipe = TokenizerPipeline(stopwords=frozenset({"the", "a"}))
+    out = pipe.tokenize(pd.Series(["The quick a fox"]))
+    assert list(out) == [["quick", "fox"]]

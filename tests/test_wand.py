@@ -1,0 +1,52 @@
+"""B10: block-max WAND must be result-identical to exhaustive scoring."""
+
+import pytest
+
+from sparktext.query import matched_docs, parse_query
+from sparktext.topk import top_k
+
+
+def _topk(index, qstr, k, exhaustive):
+    df = top_k(matched_docs(index, parse_query(qstr), exhaustive=exhaustive, k=k), k)
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("qstr,k", [
+    ("heavy", 3),
+    ("apple banana", 5),
+    ("unique", 10),
+    ("grape egg fig", 4),
+])
+def test_wand_equals_exhaustive_micro(micro_index, qstr, k):
+    assert _topk(micro_index, qstr, k, False) == _topk(micro_index, qstr, k, True)
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark):
+    from sparktext.build import build_index
+    from sparktext.corpus import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001")
+    return build_index(spark, corpus, num_segments=8)
+
+
+@pytest.mark.parametrize("qstr,k", [
+    ("spark", 10),
+    ("query window scan", 10),
+    ("customer merge", 5),
+])
+def test_wand_equals_exhaustive_sf0001(doc_index, qstr, k):
+    assert _topk(doc_index, qstr, k, False) == _topk(doc_index, qstr, k, True)
+
+
+def test_wand_prunes_blocks(doc_index):
+    """The candidate set must not exceed the full block set; on a corpus
+    with >k docs per term it should genuinely shrink it."""
+    from sparktext.query import postings_for_terms
+    from sparktext.score import term_stats, wand_candidate_blocks
+
+    terms = ["spark", "query"]
+    stats_map = term_stats(doc_index, terms)
+    total = postings_for_terms(doc_index, terms, stats_map).count()
+    kept = wand_candidate_blocks(doc_index, terms, 10, stats_map).count()
+    assert kept <= total
