@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32). Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., ...extras}``.
+
+Phases:
+- build: full index build (tokenize -> blocks -> dict) -> files/sec
+- query suite: BM25 top-10 (single/OR/must/must_not/WAND), the fused
+  agg_search plan, dedup + ANN ops -> queries/sec (suite repeated
+  ``$SPARK_GRAFT_BENCH_REPS`` times, default 3, best-of reported per
+  query to damp JIT/cache warmup noise; total is the sum of means).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    from sparktext.session import get_spark
+
+    spark = get_spark(
+        app_name="sparktext-bench", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparktext.aggs import CountAgg, StatsAgg, agg_search
+    from sparktext.ann import cosine_topk
+    from sparktext.build import build_index
+    from sparktext.corpus import documents_as_corpus
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.textops import lsh_candidate_pairs, simhash
+    from sparktext.topk import top_k
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    corpus = documents_as_corpus(spark, sf_dir)
+    index = build_index(spark, corpus, num_segments=int(cpus))
+    # Materialize every index table (build is lazy until actioned).
+    n_docs = index.stats.num_docs
+    index.postings.count()
+    index.doc_meta.count()
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+
+    def run(name, fn):
+        best = None
+        for _ in range(reps):
+            t = time.time()
+            fn()
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    def search(qstr, k=10, exhaustive=True):
+        return top_k(
+            matched_docs(index, parse_query(qstr), exhaustive=exhaustive, k=k), k
+        ).collect()
+
+    run("q_term", lambda: search("spark"))
+    run("q_or", lambda: search("query window scan"))
+    run("q_must", lambda: search("+merge +customer"))
+    run("q_must_not", lambda: search("scan -filter"))
+    run("q_wand", lambda: search("query window scan", exhaustive=False))
+
+    def fused():
+        out = agg_search(
+            index, "spark", k=10,
+            metric_aggs=[CountAgg(), StatsAgg("n_chars")],
+            bucket_aggs={"by_lang": ("terms", "lang", 5, []),
+                         "hist": ("histogram", "n_chars", 100.0, 0.0, [])},
+        )
+        for df in out.values():
+            df.collect()
+
+    run("q_agg_fused", fused)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run("op_minhash_lsh", lambda: lsh_candidate_pairs(docs).count())
+    run("op_simhash", lambda: simhash(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    run("op_ann_cosine", lambda: cosine_topk(emb, qvec, 10).collect())
+
+    query_names = [k for k in timings if k != "index_build"]
+    total = round(sum(timings.values()), 3)
+    qsum = sum(timings[k] for k in query_names)
+    print(json.dumps({
+        "metric": "index_build+query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "build_files_per_sec": round(n_docs / build_s, 1),
+        "queries_per_sec": round(len(query_names) / qsum, 2) if qsum else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
