@@ -129,6 +129,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = matched_docs(idx, parse_query("query window scan"), exhaustive=False, k=10)
         return top_k(m, 10, round_decimals=4)
 
+    def search_batch(spark, sf_dir):
+        # N queries, ONE postings pass (search_many) — throughput shape.
+        from sparktext.query import search_many
+
+        idx = _index(spark, sf_dir)
+        qs = {"b1": "spark", "b2": "query window", "b3": "+join +filter",
+              "b4": "stream -slow"}
+        return search_many(idx, qs, k=10, round_decimals=4)
+
     def agg_count(spark, sf_dir):
         _, m = _matched(spark, sf_dir, "spark")
         return metrics_agg(m, [CountAgg()])
@@ -196,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_must": search_must,
         "search_must_not": search_must_not,
         "search_wand_top10": search_wand_top10,
+        "search_batch": search_batch,
         "agg_count": agg_count,
         "agg_stats": agg_stats,
         "agg_terms_lang": agg_terms_lang,
@@ -301,6 +311,15 @@ FROM dl""",
         "search_must": _bm25_topk(["merge", "customer"], must=["merge", "customer"]),
         "search_must_not": _bm25_topk(["scan"], must_not=["filter"]),
         "search_wand_top10": _bm25_topk(["query", "window", "scan"]),
+        "search_batch": " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+            for qid, sql in [
+                ("b1", _bm25_topk(["spark"])),
+                ("b2", _bm25_topk(["query", "window"])),
+                ("b3", _bm25_topk(["join", "filter"], must=["join", "filter"])),
+                ("b4", _bm25_topk(["stream"], must_not=["slow"])),
+            ]
+        ),
         "agg_count": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
 SELECT COUNT(*) AS count FROM matched""",

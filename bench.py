@@ -88,6 +88,19 @@ def main() -> None:
 
     run("q_agg_fused", fused)
 
+    import json as _json
+
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
+    with open(qpath) as f:
+        fixture_queries = {k: v["q"] for k, v in _json.load(f).items()}
+
+    def batch20():
+        from sparktext.query import search_many
+
+        search_many(index, fixture_queries, k=10).collect()
+
+    run("q_batch20", batch20)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("op_minhash_lsh", lambda: lsh_candidate_pairs(docs).count())
     run("op_simhash", lambda: simhash(docs).count())
@@ -109,6 +122,7 @@ def main() -> None:
         "n_docs": n_docs,
         "build_files_per_sec": round(n_docs / build_s, 1),
         "queries_per_sec": round(len(query_names) / qsum, 2) if qsum else None,
+        "batch_queries_per_sec": round(len(fixture_queries) / timings["q_batch20"], 2),
     }))
 
 

@@ -167,18 +167,66 @@ def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         yield pd.concat([postings, meta], ignore_index=True) if postings is not None else meta
 
 
-def _build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas worker: one (segment, term) group -> encoded blocks."""
-    segment_id, term = key
+#: Salt chunk (§4.7): posting rows are grouped by (segment, term,
+#: doc_id // SALT_CHUNK) for block encoding, so no single task ever holds
+#: more than SALT_CHUNK postings of one term — a stop-word term spanning a
+#: 100M-doc segment would otherwise OOM one executor. Chunks are
+#: CONTIGUOUS doc ranges, so each salted group is a sorted run and runs
+#: concatenate into the final posting list by construction (only block_id
+#: needs renumbering, done by a cheap window over block headers).
+SALT_CHUNK = 16384
+
+
+def _build_blocks_salted(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas worker: one (segment, term, salt) run -> encoded blocks.
+
+    norm_id may come pre-computed (merge path) or be derived from doc_len
+    (build path).
+    """
+    segment_id, term = key[0], key[1]
     order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
     doc_ids = pdf["doc_id"].to_numpy()[order]
     tfs = pdf["tf"].to_numpy()[order]
-    norm_ids = fieldnorm_to_id(pdf["doc_len"].to_numpy()[order])
+    if "norm_id" in pdf.columns:
+        norm_ids = pdf["norm_id"].to_numpy()[order].astype(np.uint8)
+    else:
+        norm_ids = fieldnorm_to_id(pdf["doc_len"].to_numpy()[order])
     rows = codec.encode_blocks(doc_ids, tfs, norm_ids)
     out = pd.DataFrame(rows)
     out.insert(0, "segment_id", np.int32(segment_id))
     out.insert(1, "term", term)
     return out
+
+
+def encode_posting_blocks(
+    posting_rows: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(segment_id, term, doc_id, tf, doc_len|norm_id) rows -> block rows.
+
+    Salted two-phase encode (§4.7): group by (segment, term, salt) where
+    salt is the contiguous SALT_CHUNK doc-range, encode each run, then
+    renumber block_id per (segment, term) ordered by first_doc. The
+    renumber window runs over BLOCK HEADERS (128x smaller than postings),
+    so the extra exchange is cheap; the win is bounded task memory and
+    heavy-term parallelism at build AND merge time.
+    """
+    spark = posting_rows.sparkSession
+    n_shuffle = shuffle_partitions or spark.sparkContext.defaultParallelism * 2
+    salted = posting_rows.withColumn(
+        "_salt", (F.col("doc_id") / F.lit(SALT_CHUNK)).cast("int")
+    )
+    blocks = (
+        salted.repartition(n_shuffle, "segment_id", "term", "_salt")
+        .groupBy("segment_id", "term", "_salt")
+        .applyInPandas(_build_blocks_salted, schema=codec.BLOCK_SCHEMA)
+    )
+    w = Window.partitionBy("segment_id", "term").orderBy("first_doc")
+    return (
+        blocks.withColumn("block_id", F.row_number().over(w) - F.lit(1))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
 
 
 def term_bucket_col(term_col, n_buckets: int):
@@ -238,13 +286,7 @@ def build_index(
         .persist()
     )
 
-    postings = (
-        posting_rows.repartition(num_segments * 4, "segment_id", "term")
-        .groupBy("segment_id", "term")
-        .applyInPandas(_build_blocks, schema=codec.BLOCK_SCHEMA)
-        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-        .persist()
-    )
+    postings = encode_posting_blocks(posting_rows, n_buckets).persist()
 
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"

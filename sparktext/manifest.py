@@ -35,16 +35,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparktext import codec
 from sparktext.build import (
     DEFAULT_N_BUCKETS,
     Index,
     IndexStats,
-    _build_blocks,
     _tokenize_partition,
     _TOKENS_SCHEMA,
     assign_doc_ids,
-    term_bucket_col,
+    encode_posting_blocks,
     with_sha,
 )
 
@@ -124,12 +122,8 @@ def build_persistent_index(
         posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
         meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
 
-        blocks = (
-            posting_rows.repartition(segs_per_group * 4, "segment_id", "term")
-            .groupBy("segment_id", "term")
-            .applyInPandas(_build_blocks, schema=codec.BLOCK_SCHEMA)
-            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-            .withColumn("group_id", F.lit(g))
+        blocks = encode_posting_blocks(posting_rows, n_buckets).withColumn(
+            "group_id", F.lit(g)
         )
         _append(blocks, postings_path, ["group_id", "term_bucket"])
 

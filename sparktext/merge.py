@@ -1,0 +1,59 @@
+"""Segment merge with salted repartitioning (SURVEY.md A10, §4.7).
+
+tantivy's ``IndexMerger`` k-way-merges segments into fewer, larger ones
+(remap doc ids, concatenate postings, rebuild the dictionary). Here doc
+ids are global and segment doc-ranges contiguous, so a merge is:
+
+1. decode every source block (mapInPandas, partition-pruned per source
+   segment),
+2. recompute ``segment_id = doc_id // new_seg_size`` — a pure projection,
+   no shuffle needed for assignment,
+3. re-encode blocks through :func:`sparktext.build.encode_posting_blocks`
+   — the SALTED path: heavy terms are split into contiguous
+   SALT_CHUNK-doc runs so no merge task ever materializes a whole
+   stop-word posting list (the "salted repartitioning to defuse term
+   skew" requirement of BASELINE.json north_star), then block ids are
+   renumbered by a window over block headers,
+4. doc_meta gets the new segment_id by the same projection; term_dict
+   and corpus stats are segment-independent and carry over unchanged.
+
+The merged index must answer every query identically (asserted in
+tests/test_merge.py, including a synthetic 50%-doc-frequency skew term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparktext import codec
+from sparktext.build import Index, encode_posting_blocks
+
+
+def merge_segments(index: Index, num_segments: int) -> Index:
+    """Merge/re-segment an index to ``num_segments`` segments."""
+    spark = index.postings.sparkSession
+    n_docs = index.stats.num_docs
+    seg_size = max(1, -(-n_docs // num_segments))
+
+    decoded = index.postings.select(
+        "segment_id", "term", "count", "first_doc",
+        "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes",
+    ).mapInPandas(
+        lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
+        schema="segment_id int, term string, doc_id long, tf long, norm_id long",
+    )
+    reassigned = decoded.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+    postings = encode_posting_blocks(reassigned, index.n_buckets).persist()
+
+    doc_meta = index.doc_meta.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+    return Index(
+        doc_meta=doc_meta,
+        postings=postings,
+        term_dict=index.term_dict,
+        stats=index.stats,
+        n_buckets=index.n_buckets,
+    )

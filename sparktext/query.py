@@ -129,3 +129,89 @@ def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = N
         excl = _decode_postings(postings_for_terms(index, mn_present, stats_map)).select("doc_id").distinct()
         grouped = grouped.join(excl, "doc_id", "left_anti")
     return grouped
+
+
+def search_many(
+    index,
+    queries: dict[str, str],
+    k: int = 10,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Batch search: N queries -> ONE postings pass (B2–B5, B9 fused).
+
+    Returns (query_id, doc_id, score) — the top-k of every query, ranked
+    per query by (score desc, doc_id asc). The decode scan covers the
+    UNION of all query terms once; per-query fan-out is a broadcast join
+    of decoded postings against the tiny (query_id, term, occur) map;
+    per-query top-k is a window over the matched rows. This amortizes
+    the per-job overhead that dominates single-query latency and turns a
+    query workload into a throughput job — the q/s path at cluster scale.
+    """
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    parsed = {qid: parse_query(qs) for qid, qs in queries.items()}
+    all_terms = sorted({t for q in parsed.values() for t in q.scored_terms + q.must_not})
+    stats_map = term_stats(index, all_terms)
+
+    qmap_rows, must_counts = [], []
+    for qid, q in parsed.items():
+        # a MUST term missing from the dictionary -> query matches nothing:
+        # give it an impossible required-count and no scored terms.
+        missing_must = any(t not in stats_map for t in q.must)
+        n_must = len(set(q.must))
+        must_counts.append((qid, 10**6 if missing_must else n_must))
+        if missing_must:
+            continue
+        seen = set()
+        for t in q.must:
+            if t in stats_map and t not in seen:
+                seen.add(t)
+                qmap_rows.append((qid, t, "must"))
+        for t in q.should:
+            if t in stats_map and t not in seen:
+                seen.add(t)
+                qmap_rows.append((qid, t, "should"))
+        for t in set(q.must_not):
+            if t in stats_map:
+                qmap_rows.append((qid, t, "not"))
+
+    if not qmap_rows:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+    qmap = F.broadcast(
+        spark.createDataFrame(qmap_rows, "query_id string, term string, occur string")
+    )
+    need = sorted({r[1] for r in qmap_rows})
+    decoded = _decode_postings(postings_for_terms(index, need, stats_map))
+    scored = decoded.withColumn(
+        "partial",
+        bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
+    ).join(qmap, "term")
+
+    pos = scored.filter(F.col("occur") != "not")
+    grouped = pos.groupBy("query_id", "doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.count_distinct(F.when(F.col("occur") == "must", F.col("term"))).alias("_mh"),
+    )
+    mc = F.broadcast(
+        spark.createDataFrame(must_counts, "query_id string, _need int")
+    )
+    grouped = grouped.join(mc, "query_id").filter(F.col("_mh") == F.col("_need")).drop("_mh", "_need") \
+        if any(n for _, n in must_counts) else grouped.drop("_mh")
+    # NB: queries without musts have _need = 0 and _mh = 0 -> kept. The
+    # conditional above is only an optimization when NO query has musts.
+
+    excl = (
+        scored.filter(F.col("occur") == "not").select("query_id", "doc_id").distinct()
+    )
+    grouped = grouped.join(excl, ["query_id", "doc_id"], "left_anti")
+
+    score_col = F.col("score")
+    if round_decimals is not None:
+        grouped = grouped.withColumn("score", F.round(score_col, round_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        grouped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,82 @@
+"""A10/§4.7: merge correctness + salted skew handling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _topk(index, qstr, k=12):
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    rows = top_k(matched_docs(index, parse_query(qstr)), k).collect()
+    return [(r["doc_id"], round(r["score"], 9)) for r in rows]
+
+
+def test_merge_preserves_results(spark, micro_index):
+    from sparktext.merge import merge_segments
+
+    merged = merge_segments(micro_index, 1)
+    segs = [r["segment_id"] for r in merged.postings.select("segment_id").distinct().collect()]
+    assert segs == [0]
+    for q in ["heavy", "apple banana", "+grape cherry", "apple -banana"]:
+        assert _topk(merged, q) == _topk(micro_index, q), q
+
+
+def test_merge_block_renumbering(spark, micro_index):
+    from sparktext.merge import merge_segments
+
+    merged = merge_segments(micro_index, 1)
+    for row in merged.postings.groupBy("term").agg(
+        F.collect_list(F.struct("block_id", "first_doc", "last_doc")).alias("bs")
+    ).collect():
+        bs = sorted((b["block_id"], b["first_doc"], b["last_doc"]) for b in row["bs"])
+        assert [b[0] for b in bs] == list(range(len(bs)))
+        for (_, _, l1), (_, f2, _) in zip(bs, bs[1:]):
+            assert l1 < f2
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(spark):
+    """400 docs; 'hot' appears in 50% of docs (synthetic skew, §4.7)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    for i in range(400):
+        words = list(rng.choice(vocab, size=5))
+        if i % 2 == 0:
+            words += ["hot", "hot"]
+        rows.append(
+            (i, "r", f"p/{i}", f"c{i}", "py", " ".join(words), len(" ".join(words)))
+        )
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, "
+        "content string, n_chars long",
+    )
+
+
+def test_salted_skew_build_and_merge(spark, skew_corpus):
+    from sparktext.build import SALT_CHUNK, build_index
+    from sparktext.merge import merge_segments
+
+    index = build_index(spark, skew_corpus, num_segments=8)
+    hot = index.term_dict.filter("term = 'hot'").collect()[0]
+    assert hot["doc_freq"] == 200
+
+    merged = merge_segments(index, 2)
+    assert _topk(merged, "hot alpha") == _topk(index, "hot alpha")
+    assert _topk(merged, "+hot -beta") == _topk(index, "+hot -beta")
+
+    # postings fully intact after merge: decode and compare doc sets
+    from sparktext import codec
+
+    def docs_of(idx, term):
+        pdf_rows = idx.postings.filter(F.col("term") == term).collect()
+        import pandas as pd
+
+        flat = codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in pdf_rows]))
+        return sorted(flat["doc_id"].tolist())
+
+    assert docs_of(merged, "hot") == docs_of(index, "hot")
+    assert docs_of(merged, "delta") == docs_of(index, "delta")
