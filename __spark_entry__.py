@@ -37,7 +37,9 @@ def _index(spark: SparkSession, sf_dir: str):
         from sparktext.corpus import documents_as_corpus
 
         corpus = documents_as_corpus(spark, key)
-        _INDEX_CACHE[key] = build_index(spark, corpus, num_segments=16)
+        _INDEX_CACHE[key] = build_index(
+            spark, corpus, num_segments=16, with_positions=True
+        )
     return _INDEX_CACHE[key]
 
 
@@ -138,6 +140,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "b4": "stream -slow"}
         return search_many(idx, qs, k=10, round_decimals=4)
 
+    def search_phrase(spark, sf_dir):
+        from sparktext.query import phrase_docs
+        from sparktext.topk import top_k
+
+        idx = _index(spark, sf_dir)
+        return top_k(phrase_docs(idx, ["query", "window"]), 10, round_decimals=4)
+
+    def search_term_range(spark, sf_dir):
+        from sparktext.query import term_range_docs
+
+        idx = _index(spark, sf_dir)
+        return term_range_docs(idx, "query", "sort").orderBy("doc_id")
+
+    def search_prefix(spark, sf_dir):
+        from sparktext.query import prefix_docs
+
+        idx = _index(spark, sf_dir)
+        return prefix_docs(idx, "s").orderBy("doc_id")
+
     def agg_count(spark, sf_dir):
         _, m = _matched(spark, sf_dir, "spark")
         return metrics_agg(m, [CountAgg()])
@@ -188,6 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = agg_search(idx, "spark", k=10, post_filter="lang = 'en'", round_decimals=4)
         return out["hits"]
 
+    def agg_terms_nested(spark, sf_dir):
+        from sparktext.aggs import nested_terms_agg
+
+        _, mm = _matched_meta(spark, sf_dir, "spark")
+        return nested_terms_agg(mm, "lang", "repo", size1=3, size2=2)
+
     def agg_composed(spark, sf_dir):
         # C13: a tuple of metric collectors in ONE pass.
         _, mm = _matched_meta(spark, sf_dir, "query window")
@@ -206,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_must_not": search_must_not,
         "search_wand_top10": search_wand_top10,
         "search_batch": search_batch,
+        "search_phrase": search_phrase,
+        "search_term_range": search_term_range,
+        "search_prefix": search_prefix,
         "agg_count": agg_count,
         "agg_stats": agg_stats,
         "agg_terms_lang": agg_terms_lang,
@@ -215,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filter": agg_filter,
         "agg_percentiles": agg_percentiles,
         "agg_post_filter_hits": agg_post_filter_hits,
+        "agg_terms_nested": agg_terms_nested,
         "agg_composed": agg_composed,
     }
     out.update(textops.queries())
@@ -366,6 +397,45 @@ SELECT ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS n_chars_p50,
 FROM matched""",
         "agg_post_filter_hits": _bm25_topk(["spark"], k=10)
         .replace("WHERE 1=1", "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+        "search_phrase": f"""
+WITH tokp AS (SELECT doc_id,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+     FROM documents),
+{_TOK}, {_DL}, {norm_values_sql()},
+qdl AS (SELECT doc_id, (SELECT MAX(v) FROM norm_vals WHERE v <= doc_len) AS q FROM dl),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT SUM(doc_len) FROM dl) AS total),
+p0 AS (SELECT doc_id, list(pos) AS ps FROM tokp WHERE term = 'query' GROUP BY doc_id),
+p1 AS (SELECT doc_id, list(pos - 1) AS ps FROM tokp WHERE term = 'window' GROUP BY doc_id),
+ptf AS (SELECT p0.doc_id, len(list_intersect(p0.ps, p1.ps)) AS tf
+        FROM p0 JOIN p1 USING (doc_id)
+        WHERE len(list_intersect(p0.ps, p1.ps)) > 0),
+idf AS (SELECT SUM(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))) AS sidf
+        FROM (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokp
+              WHERE term IN ('query', 'window') GROUP BY term) d, stats)
+SELECT ptf.doc_id AS doc_id,
+       ROUND(idf.sidf * ptf.tf * ({K1} + 1.0)
+             / (ptf.tf + {K1} * (1.0 - {B} + {B} * qdl.q
+                / (CAST(stats.total AS DOUBLE) / stats.n))), 4) AS score
+FROM ptf JOIN qdl ON qdl.doc_id = ptf.doc_id, idf, stats
+ORDER BY score DESC, ptf.doc_id ASC LIMIT 10""",
+        "search_term_range": f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""",
+        "search_prefix": f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE term LIKE 's%' ORDER BY doc_id""",
+        "agg_terms_nested": f"""
+WITH {_TOK}, {_MATCHED_SPARK},
+b AS (SELECT lang, source AS repo, COUNT(*) AS count FROM matched GROUP BY lang, source),
+b1 AS (SELECT *, SUM(count) OVER (PARTITION BY lang) AS tot FROM b),
+b2 AS (SELECT *, DENSE_RANK() OVER (ORDER BY tot DESC, lang ASC) AS rk FROM b1),
+b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo ASC) AS rn2
+       FROM b2 WHERE rk <= 3)
+SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
         "agg_composed": f"""
 WITH {_TOK}, {_DL}, {_matched_sql(["query", "window"])}
 SELECT COUNT(*) AS count, COALESCE(SUM(doc_len), 0) AS sum_doc_len,

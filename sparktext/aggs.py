@@ -184,6 +184,45 @@ def terms_agg(
     return buckets
 
 
+def nested_terms_agg(
+    matched: DataFrame,
+    field1: str,
+    field2: str,
+    size1: int | None = None,
+    size2: int | None = None,
+    sub_aggs: list[MetricAgg] | None = None,
+) -> DataFrame:
+    """C7 nested terms: terms(field1) -> terms(field2) sub-buckets,
+    returned flattened as (field1, field2, count, subs...).
+
+    ``size1`` keeps the top-N outer buckets by TOTAL count; ``size2`` the
+    top-N inner buckets per outer bucket. One groupBy over both keys +
+    window ranking over the (small) bucket set — never a second doc scan.
+    """
+    cols = [F.count(F.lit(1)).alias("count")]
+    for sub in sub_aggs or []:
+        cols.extend(sub.exprs())
+    buckets = matched.groupBy(field1, field2).agg(*cols)
+    # outer ranking first, over FULL per-outer totals (not post-size2 ones)
+    if size1 is not None:
+        w_tot = Window.partitionBy(field1)
+        buckets = buckets.withColumn("_tot", F.sum("count").over(w_tot))
+        w1 = Window.partitionBy(F.lit(1)).orderBy(F.desc("_tot"), F.asc(field1))
+        buckets = (
+            buckets.withColumn("_rank", F.dense_rank().over(w1))
+            .filter(F.col("_rank") <= size1)
+            .drop("_tot", "_rank")
+        )
+    if size2 is not None:
+        w2 = Window.partitionBy(field1).orderBy(F.desc("count"), F.asc(field2))
+        buckets = (
+            buckets.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= size2)
+            .drop("_rn2")
+        )
+    return buckets
+
+
 def histogram_agg(
     matched: DataFrame,
     field: str,

@@ -62,6 +62,7 @@ CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
 _TOKENS_SCHEMA = (
     "kind tinyint, segment_id int, doc_id long, term string, tf int, doc_len int"
 )
+_TOKENS_SCHEMA_POS = _TOKENS_SCHEMA + ", positions array<int>"
 
 
 @dataclass
@@ -77,13 +78,34 @@ class IndexStats:
 
 @dataclass
 class Index:
-    """The queryable index: three DataFrames + scalar stats."""
+    """The queryable index: three DataFrames + scalar stats.
+
+    ``positions`` (optional, ``build_index(with_positions=True)``): the
+    per-(segment, term, doc) token-position arrays backing phrase queries
+    (B6). ``deleted`` (optional, A11): alive-filtering tombstone table
+    ``(doc_id)`` — applied as an anti-join at query time, exactly
+    tantivy's per-segment alive bitset role.
+    """
 
     doc_meta: DataFrame  # doc_id, segment_id, repo, path, commit, lang, doc_len, norm_id, sha
     postings: DataFrame  # BLOCK_SCHEMA + term_bucket
     term_dict: DataFrame  # term, doc_freq, total_tf
     stats: IndexStats
     n_buckets: int = DEFAULT_N_BUCKETS
+    positions: DataFrame | None = None  # segment_id, term, doc_id, positions
+    deleted: DataFrame | None = None  # doc_id
+
+    def with_deletes(self, doc_ids_df: DataFrame) -> "Index":
+        """A11: mark docs deleted (tombstones; postings untouched)."""
+        new_del = doc_ids_df.select("doc_id").distinct()
+        if self.deleted is not None:
+            new_del = self.deleted.union(new_del).distinct()
+        return Index(
+            doc_meta=self.doc_meta, postings=self.postings,
+            term_dict=self.term_dict, stats=self.stats,
+            n_buckets=self.n_buckets, positions=self.positions,
+            deleted=new_del.persist(),
+        )
 
 
 def with_sha(corpus: DataFrame) -> DataFrame:
@@ -122,12 +144,14 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int) -> DataFrame:
     )
 
 
-def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tokenize_partition(
+    batches: Iterator[pd.DataFrame], with_positions: bool = False
+) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one tokenize pass -> posting rows + meta rows.
 
-    kind=0 rows: (segment_id, doc_id, term, tf, doc_len) — one per distinct
-    (doc, term). kind=1 rows: (segment_id, doc_id, doc_len) — one per doc
-    (term null), so zero-token docs still reach doc_meta.
+    kind=0 rows: (segment_id, doc_id, term, tf, doc_len[, positions]) — one
+    per distinct (doc, term). kind=1 rows: (segment_id, doc_id, doc_len) —
+    one per doc (term null), so zero-token docs still reach doc_meta.
     """
     for pdf in batches:
         n = len(pdf)
@@ -140,7 +164,17 @@ def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         if row_idx.size:
             np.add.at(doc_len, row_idx, 1)
             tok = pd.DataFrame({"i": row_idx, "term": terms})
-            grp = tok.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+            if with_positions:
+                # token position within its doc = running count per row
+                tok["pos"] = tok.groupby("i", sort=False).cumcount().astype(np.int32)
+                grp = (
+                    tok.groupby(["i", "term"], sort=False)["pos"]
+                    .agg(list)
+                    .reset_index(name="positions")
+                )
+                grp["tf"] = grp["positions"].str.len()
+            else:
+                grp = tok.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
             gi = grp["i"].to_numpy()
             postings = pd.DataFrame(
                 {
@@ -152,6 +186,8 @@ def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     "doc_len": doc_len[gi],
                 }
             )
+            if with_positions:
+                postings["positions"] = grp["positions"].to_numpy()
         else:
             postings = None
         meta = pd.DataFrame(
@@ -164,6 +200,8 @@ def _tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "doc_len": doc_len,
             }
         )
+        if with_positions:
+            meta["positions"] = pd.Series([None] * n, dtype="object")
         yield pd.concat([postings, meta], ignore_index=True) if postings is not None else meta
 
 
@@ -241,6 +279,7 @@ def build_index(
     index_dir: str | None = None,
     resume: bool = False,
     num_groups: int = 1,
+    with_positions: bool = False,
 ) -> Index:
     """Build the full index from a canonical corpus DataFrame.
 
@@ -267,15 +306,26 @@ def build_index(
     )
     corpus = corpus.persist()
 
+    tok_schema = _TOKENS_SCHEMA_POS if with_positions else _TOKENS_SCHEMA
+    tok_fn = (
+        (lambda it: _tokenize_partition(it, with_positions=True))
+        if with_positions
+        else _tokenize_partition
+    )
     tokens = (
         corpus.select("doc_id", "segment_id", "content")
         .repartition(num_segments, "segment_id")
-        .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+        .mapInPandas(tok_fn, schema=tok_schema)
         .persist()
     )
 
     posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
     meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+    positions = (
+        posting_rows.select("segment_id", "term", "doc_id", "positions").persist()
+        if with_positions
+        else None
+    )
 
     # A6: global term statistics. groupBy is algebraic -> Spark's partial
     # (map-side) aggregation already defuses term skew for these sums.
@@ -286,7 +336,8 @@ def build_index(
         .persist()
     )
 
-    postings = encode_posting_blocks(posting_rows, n_buckets).persist()
+    block_input = posting_rows.drop("positions") if with_positions else posting_rows
+    postings = encode_posting_blocks(block_input, n_buckets).persist()
 
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
@@ -305,4 +356,4 @@ def build_index(
     total_tokens = meta_rows.agg(F.sum("doc_len")).collect()[0][0] or 0
     stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))
     return Index(doc_meta=doc_meta, postings=postings, term_dict=term_dict,
-                 stats=stats, n_buckets=n_buckets)
+                 stats=stats, n_buckets=n_buckets, positions=positions)

@@ -128,7 +128,108 @@ def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = N
     if mn_present:
         excl = _decode_postings(postings_for_terms(index, mn_present, stats_map)).select("doc_id").distinct()
         grouped = grouped.join(excl, "doc_id", "left_anti")
-    return grouped
+    return _alive(index, grouped)
+
+
+def _alive(index, df: DataFrame) -> DataFrame:
+    """A11: drop tombstoned docs (no-op when the index has no deletes)."""
+    if index.deleted is not None:
+        return df.join(index.deleted, "doc_id", "left_anti")
+    return df
+
+
+def phrase_docs(index, phrase_terms: list[str]) -> DataFrame:
+    """B6 PhraseQuery: docs containing the exact term sequence.
+
+    Requires a positions index (``build_index(with_positions=True)``).
+    Position-list intersection with offset alignment, entirely JVM-side:
+    positions of term_i are shifted by -i and intersected; the surviving
+    count is the phrase frequency, scored BM25-style with the SUMMED idf
+    of the phrase terms (tantivy's PhraseWeight builds one Bm25Weight
+    over all terms) and the doc's fieldnorm.
+    """
+    if index.positions is None:
+        raise ValueError("index built without positions; use with_positions=True")
+    if not phrase_terms:
+        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
+    stats_map = term_stats(index, phrase_terms)
+    if any(t not in stats_map for t in phrase_terms):
+        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
+
+    pos = index.positions.filter(F.col("term").isin(sorted(set(phrase_terms))))
+    # pivot the <= len(phrase) term rows of each doc into a term->positions map
+    per_doc = pos.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("pmap"),
+        F.count("*").alias("_nterms"),
+    ).filter(F.col("_nterms") >= len(set(phrase_terms)))
+
+    def _shift(offset: int):
+        # UNARY lambda required: F.transform treats a 2nd param as the index
+        return lambda x: x - F.lit(offset)
+
+    inter = F.element_at(F.col("pmap"), phrase_terms[0])
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        shifted = F.transform(F.element_at(F.col("pmap"), t), _shift(i))
+        inter = F.array_intersect(inter, shifted)
+    cand = per_doc.withColumn("phrase_tf", F.size(inter)).filter(F.col("phrase_tf") > 0)
+
+    from sparktext.score import B, K1, _decoded_norm_col
+
+    sum_idf = float(sum(stats_map[t]["idf"] for t in phrase_terms))
+    avgdl = float(index.stats.avg_len)
+    norms = index.doc_meta.select("doc_id", "norm_id")
+    tf = F.col("phrase_tf").cast("double")
+    dl = _decoded_norm_col(F.col("norm_id"))
+    score = F.lit(sum_idf) * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+    out = cand.join(norms, "doc_id").select("doc_id", score.alias("score"))
+    return _alive(index, out)
+
+
+def term_range_docs(index, lo: str, hi: str, inclusive: bool = False) -> DataFrame:
+    """B7 RangeQuery over the term dictionary: docs containing any term in
+    [lo, hi) (or [lo, hi] with ``inclusive``). Constant score 1.0 per doc
+    (tantivy's multi-term queries use a ConstScorer)."""
+    cond = (F.col("term") >= lo) & (
+        (F.col("term") <= hi) if inclusive else (F.col("term") < hi)
+    )
+    terms = [r["term"] for r in index.term_dict.filter(cond).select("term").collect()]
+    return _const_score_union(index, terms)
+
+
+def prefix_docs(index, prefix: str) -> DataFrame:
+    """B7 prefix query: dictionary expansion on the broadcast term dict."""
+    terms = [
+        r["term"]
+        for r in index.term_dict.filter(F.col("term").startswith(prefix)).select("term").collect()
+    ]
+    return _const_score_union(index, terms)
+
+
+def fuzzy_docs(index, term: str, max_edits: int = 1) -> DataFrame:
+    """B7 fuzzy query: Levenshtein expansion over the term dictionary
+    (JVM levenshtein on the vocabulary-sized dict, never on docs)."""
+    terms = [
+        r["term"]
+        for r in index.term_dict.filter(
+            F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        ).select("term").collect()
+    ]
+    return _const_score_union(index, terms)
+
+
+def _const_score_union(index, terms: list[str]) -> DataFrame:
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    stats_map = term_stats(index, terms)
+    present = [t for t in terms if t in stats_map]
+    if not present:
+        return spark.createDataFrame([], "doc_id long, score double")
+    decoded = _decode_postings(postings_for_terms(index, present, stats_map))
+    out = decoded.select("doc_id").distinct().withColumn("score", F.lit(1.0))
+    return _alive(index, out)
 
 
 def search_many(

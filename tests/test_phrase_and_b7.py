@@ -1,0 +1,118 @@
+"""B6 phrase queries, B7 range/prefix/fuzzy, A11 deletes."""
+
+import math
+
+import pytest
+
+from tests.conftest import MICRO_DOCS
+
+DOCS = {d[0]: d[5] for d in MICRO_DOCS}
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, micro_corpus):
+    from sparktext.build import build_index
+
+    return build_index(spark, micro_corpus, num_segments=3, with_positions=True)
+
+
+def _phrase_expected(phrase):
+    terms = phrase.split()
+    out = {}
+    for d, text in DOCS.items():
+        toks = text.split()
+        tf = sum(
+            1
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i : i + len(terms)] == terms
+        )
+        if tf:
+            out[d] = tf
+    return out
+
+
+@pytest.mark.parametrize("phrase", [
+    "apple banana",       # multiple docs
+    "heavy heavy",        # overlapping repeat inside doc 2
+    "grape heavy grape",  # 3-term, doc 7 only
+    "banana apple",       # reversed -> only docs with that order
+    "egg fig heavy",      # 3-term
+    "cherry unique",      # no match
+])
+def test_phrase_matches(pos_index, phrase):
+    from sparktext.query import phrase_docs
+
+    rows = {r["doc_id"]: r["score"] for r in phrase_docs(pos_index, phrase.split()).collect()}
+    exp = _phrase_expected(phrase)
+    assert set(rows) == set(exp), phrase
+
+
+def test_phrase_scores(pos_index):
+    """Score = sum(idf) * bm25_tf_part with phrase frequency as tf."""
+    from sparktext.fieldnorm import quantize
+    from sparktext.query import phrase_docs
+    from tests.reference_impl import build_ref
+
+    ref = build_ref(DOCS)
+    terms = ["apple", "banana"]
+    exp_tf = _phrase_expected("apple banana")
+    sum_idf = sum(
+        math.log(1 + (ref["n"] - ref["df"][t] + 0.5) / (ref["df"][t] + 0.5)) for t in terms
+    )
+    rows = {r["doc_id"]: r["score"] for r in phrase_docs(pos_index, terms).collect()}
+    for d, tf in exp_tf.items():
+        dl = float(quantize([ref["doc_len"][d]])[0])
+        expected = sum_idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / ref["avg"]))
+        assert rows[d] == pytest.approx(expected, abs=1e-9)
+
+
+def test_phrase_without_positions(micro_index):
+    from sparktext.query import phrase_docs
+
+    with pytest.raises(ValueError):
+        phrase_docs(micro_index, ["apple", "banana"])
+
+
+def test_term_range(micro_index):
+    from sparktext.query import term_range_docs
+
+    # ["banana", "date") covers banana, cherry, date(exclusive)
+    rows = {r["doc_id"] for r in term_range_docs(micro_index, "banana", "date").collect()}
+    exp = {d for d, t in DOCS.items() if any(w in ("banana", "cherry") for w in t.split())}
+    assert rows == exp
+    inc = {r["doc_id"] for r in term_range_docs(micro_index, "banana", "date", inclusive=True).collect()}
+    exp_inc = {d for d, t in DOCS.items() if any(w in ("banana", "cherry", "date") for w in t.split())}
+    assert inc == exp_inc
+
+
+def test_prefix(micro_index):
+    from sparktext.query import prefix_docs
+
+    rows = {r["doc_id"] for r in prefix_docs(micro_index, "gra").collect()}
+    assert rows == {d for d, t in DOCS.items() if "grape" in t.split()}
+    assert prefix_docs(micro_index, "zz").count() == 0
+
+
+def test_fuzzy(micro_index):
+    from sparktext.query import fuzzy_docs
+
+    # 'aple' -> 'apple' at edit distance 1
+    rows = {r["doc_id"] for r in fuzzy_docs(micro_index, "aple", 1).collect()}
+    assert rows == {d for d, t in DOCS.items() if "apple" in t.split()}
+    # distance 1 from 'date': 'date' only in this vocab
+    rows = {r["doc_id"] for r in fuzzy_docs(micro_index, "gate", 1).collect()}
+    assert rows == {d for d, t in DOCS.items() if "date" in t.split()}
+
+
+def test_deletes(spark, micro_index):
+    from sparktext.query import matched_docs, parse_query
+
+    apple_docs = {d for d, t in DOCS.items() if "apple" in t.split()}
+    victim = min(apple_docs)
+    deleted = spark.createDataFrame([(victim,)], "doc_id long")
+    idx2 = micro_index.with_deletes(deleted)
+    rows = {r["doc_id"] for r in matched_docs(idx2, parse_query("apple")).collect()}
+    assert rows == apple_docs - {victim}
+    # original index untouched
+    rows0 = {r["doc_id"] for r in matched_docs(micro_index, parse_query("apple")).collect()}
+    assert rows0 == apple_docs
