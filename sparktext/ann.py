@@ -62,6 +62,60 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: all (a < b) with cosine >=
+    threshold. O(n^2) — the small-side/correctness path; at scale use
+    :func:`lsh_cosine_pairs` (bucket equi-join instead of cross join)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    ea, eb = _as_double(F.col("e_a")), _as_double(F.col("e_b"))
+    sim = _dot(ea, eb) / (_norm(ea) * _norm(eb))
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share a hyperplane-sign
+    bucket (equi-join on bucket id — shuffles by bucket, never a cross
+    join), then exact cosine filters. Recall < 1 by construction
+    (P[same bucket] = (1 - theta/pi)^n_planes); raise recall with fewer
+    planes or multiple tables."""
+    dim = len(df.select(emb_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(emb_col), bucket_col(F.col(emb_col), planes).alias("_b")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), "_b")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), "_b")
+    ea, eb = _as_double(F.col("e_a")), _as_double(F.col("e_b"))
+    sim = F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 6)
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -297,14 +297,17 @@ def build_index(
 
     if num_segments is None:
         num_segments = max(4, spark.sparkContext.defaultParallelism)
-    corpus = with_sha(corpus)
     corpus = assign_doc_ids(corpus, num_segments)
     n_docs = corpus.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
-    corpus = corpus.withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
-    )
-    corpus = corpus.persist()
+    # Repartition BEFORE the sha projection and persist: otherwise the
+    # per-row sha256 (and any upstream narrow prep like a replicate
+    # cross-join) materializes on the INPUT partitioning — one small
+    # source file would serialize the whole prep on a single task.
+    corpus = with_sha(
+        corpus.withColumn("segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
+        .repartition(num_segments, "segment_id")
+    ).persist()
 
     tok_schema = _TOKENS_SCHEMA_POS if with_positions else _TOKENS_SCHEMA
     tok_fn = (
@@ -314,7 +317,6 @@ def build_index(
     )
     tokens = (
         corpus.select("doc_id", "segment_id", "content")
-        .repartition(num_segments, "segment_id")
         .mapInPandas(tok_fn, schema=tok_schema)
         .persist()
     )

@@ -76,16 +76,17 @@ def build_persistent_index(
         num_segments = max(4, spark.sparkContext.defaultParallelism)
     build_id = uuid.uuid4().hex[:12]
 
-    corpus = with_sha(corpus)
     corpus = assign_doc_ids(corpus, num_segments)
     n_docs = corpus.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
     segs_per_group = max(1, math.ceil(num_segments / num_groups))
-    corpus = (
+    # repartition before the sha projection (see build.py note): heavy
+    # per-row prep must run post-exchange, not on the input partitioning
+    corpus = with_sha(
         corpus.withColumn("segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
         .withColumn("group_id", (F.col("segment_id") / F.lit(segs_per_group)).cast("int"))
-        .persist()
-    )
+        .repartition(num_segments, "segment_id")
+    ).persist()
 
     done: set[int] = set()
     manifest = _read_manifest(spark, index_dir) if resume else None
@@ -122,8 +123,13 @@ def build_persistent_index(
         posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
         meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
 
-        blocks = encode_posting_blocks(posting_rows, n_buckets).withColumn(
-            "group_id", F.lit(g)
+        # sortWithinPartitions(term): tight parquet row-group min/max on
+        # the term column -> row-group skipping under the pushed term
+        # filter at query time (§4.1), on top of term_bucket file pruning.
+        blocks = (
+            encode_posting_blocks(posting_rows, n_buckets)
+            .withColumn("group_id", F.lit(g))
+            .sortWithinPartitions("term", "segment_id", "block_id")
         )
         _append(blocks, postings_path, ["group_id", "term_bucket"])
 
@@ -164,34 +170,127 @@ def build_persistent_index(
 
     # Finalize: term dictionary + stats from what's on disk (covers both
     # fresh and resumed builds uniformly).
+    _finalize(spark, index_dir, n_buckets, num_segments, build_id)
+    corpus.unpersist()
+    return load_index(spark, index_dir)
+
+
+def _finalize(spark: SparkSession, index_dir: str, n_buckets: int,
+              num_segments: int, build_id: str) -> None:
+    """Rebuild term_dict + stats from on-disk block headers (idempotent)."""
     t0 = time.time()
-    postings = spark.read.parquet(postings_path)
-    term_dict = (
-        postings.groupBy("term")
-        .agg(
-            F.sum("count").alias("doc_freq"),
-            F.sum("sum_tf").alias("total_tf"),
-            F.max("term_bucket").alias("term_bucket"),
-        )
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    term_dict = postings.groupBy("term").agg(
+        F.sum("count").alias("doc_freq"),
+        F.sum("sum_tf").alias("total_tf"),
+        F.max("term_bucket").alias("term_bucket"),
     )
     term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
-    doc_meta = spark.read.parquet(doc_meta_path)
-    srow = doc_meta.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("tt")
-    ).collect()[0]
-    stats = {
-        "num_docs": int(srow["n"]),
-        "total_tokens": int(srow["tt"] or 0),
-        "n_buckets": n_buckets,
-        "num_segments": num_segments,
-    }
+    doc_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    srow = doc_meta.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt")).collect()[0]
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+        json.dump({
+            "num_docs": int(srow["n"]), "total_tokens": int(srow["tt"] or 0),
+            "n_buckets": n_buckets, "num_segments": num_segments,
+        }, f)
     met = spark.createDataFrame(
         [("finalize", -1, int(srow["n"]), int((time.time() - t0) * 1000), build_id)],
         "stage string, group_id int, rows long, wall_ms long, build_id string",
     )
-    _append(met, metrics_path)
+    _append(met, os.path.join(index_dir, "_metrics"))
+
+
+def append_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    num_segments: int | None = None,
+) -> Index:
+    """Incremental commit (tantivy ``add_document``+``commit`` ≈ appending
+    segments): index new docs as FRESH segments after the current ones,
+    append postings/doc_meta/manifest, re-finalize the (vocabulary-sized)
+    term dictionary and stats. Existing segment files are never rewritten;
+    results equal a from-scratch build over the union corpus because BM25
+    reads only global stats + per-doc norms (asserted in tests). Run
+    :func:`sparktext.merge.merge_segments` afterwards to compact."""
+    import math
+
+    from sparktext.fieldnorm import fieldnorm_to_id
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        st = json.load(f)
+    n_buckets = st["n_buckets"]
+    build_id = uuid.uuid4().hex[:12]
+    doc_meta0 = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    agg0 = doc_meta0.agg(
+        F.max("doc_id").alias("maxd"), F.max("segment_id").alias("maxs"),
+        F.max("group_id").alias("maxg"),
+    ).collect()[0]
+    base_doc = int(agg0["maxd"]) + 1
+    base_seg = int(agg0["maxs"]) + 1
+    g = int(agg0["maxg"]) + 1
+
+    if num_segments is None:
+        num_segments = max(4, spark.sparkContext.defaultParallelism)
+    corpus = with_sha(new_corpus)
+    if "doc_id" in corpus.columns:
+        corpus = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc))
+    else:
+        corpus = assign_doc_ids(corpus, num_segments).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base_doc)
+        )
+    n_new = corpus.count()
+    seg_size = max(1, math.ceil(n_new / num_segments))
+    corpus = corpus.withColumn(
+        "segment_id",
+        ((F.col("doc_id") - F.lit(base_doc)) / F.lit(seg_size)).cast("int") + F.lit(base_seg),
+    ).withColumn("group_id", F.lit(g)).persist()
+
+    t0 = time.time()
+    tokens = (
+        corpus.select("doc_id", "segment_id", "content")
+        .repartition(num_segments, "segment_id")
+        .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+        .persist()
+    )
+    posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
+    meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+    blocks = (
+        encode_posting_blocks(posting_rows, n_buckets)
+        .withColumn("group_id", F.lit(g))
+        .sortWithinPartitions("term", "segment_id", "block_id")
+    )
+    _append(blocks, os.path.join(index_dir, "postings"), ["group_id", "term_bucket"])
+
+    norm_udf = F.pandas_udf(
+        lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
+    )
+    dm = (
+        corpus.join(meta_rows, "doc_id")
+        .withColumn("norm_id", norm_udf(F.col("doc_len")))
+        .select(
+            "doc_id", "segment_id", "repo", "path", "commit", "lang",
+            "doc_len", "norm_id", "sha", "group_id",
+            *(["n_chars"] if "n_chars" in corpus.columns else []),
+        )
+    )
+    _append(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
+
+    fp = corpus.agg(
+        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
+        .cast("long").alias("fp")
+    ).collect()[0]["fp"]
+    man_row = spark.createDataFrame(
+        [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id, "complete")],
+        "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
+        "build_id string, status string",
+    )
+    _append(man_row, os.path.join(index_dir, "_manifest"))
+
+    _finalize(spark, index_dir, n_buckets, st["num_segments"] + num_segments, build_id)
+    tokens.unpersist()
     corpus.unpersist()
     return load_index(spark, index_dir)
 

@@ -255,7 +255,7 @@ def search_many(
     all_terms = sorted({t for q in parsed.values() for t in q.scored_terms + q.must_not})
     stats_map = term_stats(index, all_terms)
 
-    qmap_rows, must_counts = [], []
+    qmap_rows, not_rows, must_counts = [], [], []
     for qid, q in parsed.items():
         # a MUST term missing from the dictionary -> query matches nothing:
         # give it an impossible required-count and no scored terms.
@@ -275,7 +275,7 @@ def search_many(
                 qmap_rows.append((qid, t, "should"))
         for t in set(q.must_not):
             if t in stats_map:
-                qmap_rows.append((qid, t, "not"))
+                not_rows.append((qid, t))
 
     if not qmap_rows:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
@@ -289,27 +289,41 @@ def search_many(
         bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
     ).join(qmap, "term")
 
-    pos = scored.filter(F.col("occur") != "not")
-    grouped = pos.groupBy("query_id", "doc_id").agg(
-        F.sum("partial").alias("score"),
-        F.count_distinct(F.when(F.col("occur") == "must", F.col("term"))).alias("_mh"),
+    any_must = any(occ == "must" for _, _, occ in qmap_rows) or any(
+        n >= 10**6 for _, n in must_counts
     )
-    mc = F.broadcast(
-        spark.createDataFrame(must_counts, "query_id string, _need int")
-    )
-    grouped = grouped.join(mc, "query_id").filter(F.col("_mh") == F.col("_need")).drop("_mh", "_need") \
-        if any(n for _, n in must_counts) else grouped.drop("_mh")
-    # NB: queries without musts have _need = 0 and _mh = 0 -> kept. The
-    # conditional above is only an optimization when NO query has musts.
+    aggs = [F.sum("partial").alias("score")]
+    if any_must:
+        aggs.append(
+            F.count_distinct(F.when(F.col("occur") == "must", F.col("term"))).alias("_mh")
+        )
+    grouped = scored.groupBy("query_id", "doc_id").agg(*aggs)
+    if any_must:
+        mc = F.broadcast(spark.createDataFrame(must_counts, "query_id string, _need int"))
+        grouped = (
+            grouped.join(mc, "query_id")
+            .filter(F.col("_mh") == F.col("_need"))
+            .drop("_mh", "_need")
+        )
 
-    excl = (
-        scored.filter(F.col("occur") == "not").select("query_id", "doc_id").distinct()
-    )
-    grouped = grouped.join(excl, ["query_id", "doc_id"], "left_anti")
+    if not_rows:
+        # separate, pruned decode for exclusions — keeps the main scoring
+        # scan narrow and avoids re-decoding it for the anti-join branch
+        nmap = F.broadcast(
+            spark.createDataFrame(not_rows, "query_id string, term string")
+        )
+        nterms = sorted({t for _, t in not_rows})
+        excl = (
+            _decode_postings(postings_for_terms(index, nterms, stats_map))
+            .join(nmap, "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        grouped = grouped.join(excl, ["query_id", "doc_id"], "left_anti")
 
-    score_col = F.col("score")
+    grouped = _alive(index, grouped)
     if round_decimals is not None:
-        grouped = grouped.withColumn("score", F.round(score_col, round_decimals))
+        grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         grouped.withColumn("_rn", F.row_number().over(w))

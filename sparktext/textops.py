@@ -332,6 +332,10 @@ def queries():
         qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
         return ann.cosine_topk(emb, qvec, k=10, round_decimals=6)
 
+    def emb_pairs_q(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.cosine_pairs(emb, threshold=0.4)
+
     return {
         "text_token_counts": token_counts_q,
         "dedup_exact_groups": dedup_exact_q,
@@ -342,6 +346,7 @@ def queries():
         "dedup_ngram_jaccard": jaccard_pairs_q,
         "text_simhash": simhash_q,
         "ann_cosine_top10": ann_cosine_q,
+        "dedup_embedding_pairs": emb_pairs_q,
     }
 
 
@@ -466,4 +471,17 @@ qn AS (SELECT SQRT(SUM(qv * qv)) AS qnorm FROM q)
 SELECT vec_id, ROUND(dot / (SQRT(sq) * qn.qnorm), 6) AS cosine
 FROM s, qn
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "dedup_embedding_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+       6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(
+  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+  / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+     * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+6) >= 0.4""",
     }

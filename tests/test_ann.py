@@ -1,0 +1,71 @@
+"""Similarity search: exact top-k, LSH bucketing, near-dup pairs."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    base = rng.standard_normal(16).astype(np.float32)
+    for i in range(80):
+        v = rng.standard_normal(16).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    # two planted near-duplicates of vector 0
+    v0 = np.array(rows[0][1], dtype=np.float64)
+    rows.append((80, [float(x) for x in v0 + 0.01 * rng.standard_normal(16)]))
+    rows.append((81, [float(x) for x in v0 * 1.5]))  # same direction
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_cosines(rows, qvec):
+    q = np.asarray(qvec, dtype=np.float64)
+    out = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        out[r["vec_id"]] = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+    return out
+
+def test_cosine_topk_exact(spark, emb_df):
+    from sparktext.ann import cosine_topk
+
+    rows = emb_df.collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    sims = _np_cosines(rows, qvec)
+    exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb_df, qvec, 5).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (gid, gs), (eid, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9)
+    # planted near-dups rank at the top (after self)
+    assert set(g[0] for g in got[:3]) == {0, 80, 81}
+
+
+def test_cosine_pairs_threshold(spark, emb_df):
+    from sparktext.ann import cosine_pairs
+
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb_df, 0.95).collect()}
+    assert (0, 80) in got and (0, 81) in got
+    assert (80, 81) in got
+
+
+def test_lsh_pairs_subset_and_recall(spark, emb_df):
+    from sparktext.ann import cosine_pairs, lsh_cosine_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb_df, 0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_cosine_pairs(emb_df, 0.9, n_planes=4).collect()}
+    assert lsh <= exact
+    # near-identical vectors almost surely share all 4 sign buckets
+    assert (0, 80) in lsh and (0, 81) in lsh
+
+
+def test_lsh_topk_contains_near_dups(spark, emb_df):
+    from sparktext.ann import lsh_bucketed_topk
+
+    rows = emb_df.collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    got = [r["vec_id"] for r in lsh_bucketed_topk(emb_df, qvec, k=3, n_planes=4).collect()]
+    assert got[0] == 0
+    assert set(got) <= {0, 80, 81} | set(range(82))
+    assert 80 in got and 81 in got

@@ -1,0 +1,81 @@
+"""A12: persisted layout, resume, lineage, incremental append."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _topk(index, qstr, k=12):
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    rows = top_k(matched_docs(index, parse_query(qstr)), k).collect()
+    return [(r["doc_id"], round(r["score"], 9)) for r in rows]
+
+
+def test_persist_load_resume(spark, micro_corpus, micro_index, tmpdir):
+    from sparktext.build import build_index
+    from sparktext.manifest import load_index
+
+    idx = build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2)
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+
+    man = spark.read.parquet(f"{tmpdir}/_manifest")
+    assert man.filter("status = 'complete'").count() == 2
+    met = spark.read.parquet(f"{tmpdir}/_metrics")
+    assert met.filter("stage = 'finalize'").count() >= 1
+
+    # resume: nothing to do, results unchanged
+    idx2 = build_index(
+        spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2, resume=True
+    )
+    assert _topk(idx2, "apple banana") == _topk(micro_index, "apple banana")
+    # no duplicate group rows were appended
+    assert spark.read.parquet(f"{tmpdir}/_manifest").count() == 2
+
+    loaded = load_index(spark, tmpdir)
+    assert loaded.stats.num_docs == micro_index.stats.num_docs
+    assert loaded.stats.total_tokens == micro_index.stats.total_tokens
+
+
+def test_append_equals_full_build(spark, micro_corpus, micro_index, tmpdir):
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=tmpdir, num_groups=1)
+    idx = append_documents(spark, tmpdir, second, num_segments=2)
+
+    assert idx.stats.num_docs == 12
+    for q in ["heavy", "apple banana", "+grape cherry", "apple -banana", "unique"]:
+        assert _topk(idx, q) == _topk(micro_index, q), q
+
+    man = spark.read.parquet(f"{tmpdir}/_manifest")
+    assert man.count() == 2  # original group + appended group
+
+
+def test_append_then_merge(spark, micro_corpus, micro_index, tmpdir):
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+    from sparktext.merge import merge_segments
+
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=tmpdir, num_groups=1)
+    idx = append_documents(spark, tmpdir, second, num_segments=2)
+    merged = merge_segments(idx, 1)
+    assert _topk(merged, "heavy") == _topk(micro_index, "heavy")
