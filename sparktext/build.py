@@ -41,8 +41,6 @@ on re-run (see :func:`build_index` ``resume``).
 from __future__ import annotations
 
 import math
-import time
-import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -205,6 +203,104 @@ def _tokenize_partition(
         yield pd.concat([postings, meta], ignore_index=True) if postings is not None else meta
 
 
+_FUSED_SCHEMA = (
+    "kind tinyint, segment_id int, term string, block_id int, count int, "
+    "first_doc long, last_doc long, max_tf int, sum_tf long, min_norm_id int, "
+    "doc_bits int, doc_bytes binary, tf_bytes binary, norm_bytes binary, "
+    "doc_id long, doc_len int"
+)
+
+
+def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused per-partition index build (SURVEY A4's preferred shape):
+    tokenize AND encode posting blocks inside ONE mapInPandas pass —
+    segment == partition, so no token-level shuffle and no token-level
+    persist ever materializes. Emits kind=0 block rows (BLOCK_SCHEMA
+    fields) + kind=1 doc rows (doc_id, doc_len).
+
+    Accumulates the partition's (doc, term, tf) frame across Arrow
+    batches; memory is bounded by segment sizing (seg_size docs), which
+    the caller controls — the knob that must scale with executor memory.
+    """
+    acc: list[pd.DataFrame] = []
+    meta_parts: list[pd.DataFrame] = []
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        row_idx, terms = tokenize_flat(pdf["content"])
+        doc_ids = pdf["doc_id"].to_numpy()
+        seg_ids = pdf["segment_id"].to_numpy()
+        doc_len = np.zeros(n, dtype=np.int64)
+        if row_idx.size:
+            np.add.at(doc_len, row_idx, 1)
+            tok = pd.DataFrame({"i": row_idx, "term": terms})
+            grp = tok.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+            gi = grp["i"].to_numpy()
+            acc.append(
+                pd.DataFrame(
+                    {
+                        "segment_id": seg_ids[gi],
+                        "doc_id": doc_ids[gi],
+                        "term": grp["term"].to_numpy(),
+                        "tf": grp["tf"].to_numpy().astype(np.int64),
+                        "norm_id": fieldnorm_to_id(doc_len[gi]).astype(np.int64),
+                    }
+                )
+            )
+        meta_parts.append(
+            pd.DataFrame({"segment_id": seg_ids, "doc_id": doc_ids, "doc_len": doc_len})
+        )
+
+    out_blocks: list[pd.DataFrame] = []
+    if acc:
+        allp = pd.concat(acc, ignore_index=True)
+        allp.sort_values(["segment_id", "term", "doc_id"], inplace=True, kind="stable")
+        for (seg, term), g in allp.groupby(["segment_id", "term"], sort=False):
+            rows = codec.encode_blocks(
+                g["doc_id"].to_numpy(), g["tf"].to_numpy(),
+                g["norm_id"].to_numpy().astype(np.uint8),
+            )
+            b = pd.DataFrame(rows)
+            b.insert(0, "segment_id", np.int32(seg))
+            b.insert(1, "term", term)
+            out_blocks.append(b)
+    frames = []
+    if out_blocks:
+        blocks = pd.concat(out_blocks, ignore_index=True)
+        blocks.insert(0, "kind", np.int8(0))
+        blocks["doc_id"] = np.int64(0)
+        blocks["doc_len"] = np.int32(0)
+        frames.append(blocks)
+    if meta_parts:
+        meta = pd.concat(meta_parts, ignore_index=True)
+        mf = pd.DataFrame(
+            {
+                "kind": np.int8(1),
+                "segment_id": meta["segment_id"].to_numpy(),
+                "term": pd.Series([None] * len(meta), dtype="object"),
+                "block_id": np.int32(0),
+                "count": np.int32(0),
+                "first_doc": np.int64(0),
+                "last_doc": np.int64(0),
+                "max_tf": np.int32(0),
+                "sum_tf": np.int64(0),
+                "min_norm_id": np.int32(0),
+                "doc_bits": np.int32(0),
+                "doc_bytes": None,
+                "tf_bytes": None,
+                "norm_bytes": None,
+                "doc_id": meta["doc_id"].to_numpy(),
+                "doc_len": meta["doc_len"].to_numpy().astype(np.int32),
+            }
+        )
+        frames.append(mf)
+    if frames:
+        yield pd.concat(frames, ignore_index=True)[
+            [c.split()[0] for c in _FUSED_SCHEMA.split(", ")]
+        ]
+
+
 #: Salt chunk (§4.7): posting rows are grouped by (segment, term,
 #: doc_id // SALT_CHUNK) for block encoding, so no single task ever holds
 #: more than SALT_CHUNK postings of one term — a stop-word term spanning a
@@ -309,37 +405,48 @@ def build_index(
         .repartition(num_segments, "segment_id")
     ).persist()
 
-    tok_schema = _TOKENS_SCHEMA_POS if with_positions else _TOKENS_SCHEMA
-    tok_fn = (
-        (lambda it: _tokenize_partition(it, with_positions=True))
-        if with_positions
-        else _tokenize_partition
-    )
-    tokens = (
-        corpus.select("doc_id", "segment_id", "content")
-        .mapInPandas(tok_fn, schema=tok_schema)
-        .persist()
-    )
+    positions = None
+    if with_positions:
+        # positions path: token-level rows are needed anyway, so use the
+        # two-step build (tokenize rows -> salted encode).
+        tokens = (
+            corpus.select("doc_id", "segment_id", "content")
+            .mapInPandas(
+                lambda it: _tokenize_partition(it, with_positions=True),
+                schema=_TOKENS_SCHEMA_POS,
+            )
+            .persist()
+        )
+        posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
+        meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+        positions = posting_rows.select("segment_id", "term", "doc_id", "positions").persist()
+        postings = encode_posting_blocks(posting_rows.drop("positions"), n_buckets).persist()
+    else:
+        # Fused fast path (SURVEY A4): tokenize + block-encode in ONE
+        # mapInPandas over segment partitions — zero token-level shuffle,
+        # and the persisted intermediate is block headers + doc lens
+        # (~100x smaller than token rows).
+        fused = (
+            corpus.select("doc_id", "segment_id", "content")
+            .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
+            .persist()
+        )
+        postings = (
+            fused.filter(F.col("kind") == 0)
+            .drop("kind", "doc_id", "doc_len")
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        )
+        meta_rows = fused.filter(F.col("kind") == 1).select("doc_id", "doc_len")
 
-    posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
-    meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
-    positions = (
-        posting_rows.select("segment_id", "term", "doc_id", "positions").persist()
-        if with_positions
-        else None
-    )
-
-    # A6: global term statistics. groupBy is algebraic -> Spark's partial
-    # (map-side) aggregation already defuses term skew for these sums.
+    # A6: global term statistics, derived from BLOCK HEADERS (128x fewer
+    # rows than postings). The groupBy is algebraic -> map-side partial
+    # aggregation already defuses term skew for these sums.
     term_dict = (
-        posting_rows.groupBy("term")
-        .agg(F.count("*").alias("doc_freq"), F.sum("tf").alias("total_tf"))
+        postings.groupBy("term")
+        .agg(F.sum("count").alias("doc_freq"), F.sum("sum_tf").alias("total_tf"))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
         .persist()
     )
-
-    block_input = posting_rows.drop("positions") if with_positions else posting_rows
-    postings = encode_posting_blocks(block_input, n_buckets).persist()
 
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"

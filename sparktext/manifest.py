@@ -114,20 +114,24 @@ def build_persistent_index(
     for g in todo:
         t0 = time.time()
         sub = corpus.filter(F.col("group_id") == g)
-        tokens = (
+        from sparktext.build import _build_segment_partition, _FUSED_SCHEMA
+        from sparktext.build import term_bucket_col
+
+        fused = (
             sub.select("doc_id", "segment_id", "content")
             .repartition(segs_per_group, "segment_id")
-            .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+            .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
             .persist()
         )
-        posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
-        meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+        meta_rows = fused.filter(F.col("kind") == 1).select("doc_id", "doc_len")
 
         # sortWithinPartitions(term): tight parquet row-group min/max on
         # the term column -> row-group skipping under the pushed term
         # filter at query time (§4.1), on top of term_bucket file pruning.
         blocks = (
-            encode_posting_blocks(posting_rows, n_buckets)
+            fused.filter(F.col("kind") == 0)
+            .drop("kind", "doc_id", "doc_len")
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
             .withColumn("group_id", F.lit(g))
             .sortWithinPartitions("term", "segment_id", "block_id")
         )
@@ -166,7 +170,7 @@ def build_persistent_index(
             "stage string, group_id int, rows long, wall_ms long, build_id string",
         )
         _append(met, metrics_path)
-        tokens.unpersist()
+        fused.unpersist()
 
     # Finalize: term dictionary + stats from what's on disk (covers both
     # fresh and resumed builds uniformly).

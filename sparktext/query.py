@@ -255,71 +255,73 @@ def search_many(
     all_terms = sorted({t for q in parsed.values() for t in q.scored_terms + q.must_not})
     stats_map = term_stats(index, all_terms)
 
-    qmap_rows, not_rows, must_counts = [], [], []
+    # Collect the union of needed terms. Queries whose MUST terms are
+    # missing from the dictionary match nothing and emit no branch.
+    live: dict[str, Query] = {}
+    need_terms: set[str] = set()
     for qid, q in parsed.items():
-        # a MUST term missing from the dictionary -> query matches nothing:
-        # give it an impossible required-count and no scored terms.
-        missing_must = any(t not in stats_map for t in q.must)
-        n_must = len(set(q.must))
-        must_counts.append((qid, 10**6 if missing_must else n_must))
-        if missing_must:
+        if any(t not in stats_map for t in q.must):
             continue
-        seen = set()
-        for t in q.must:
-            if t in stats_map and t not in seen:
-                seen.add(t)
-                qmap_rows.append((qid, t, "must"))
-        for t in q.should:
-            if t in stats_map and t not in seen:
-                seen.add(t)
-                qmap_rows.append((qid, t, "should"))
-        for t in set(q.must_not):
-            if t in stats_map:
-                not_rows.append((qid, t))
+        scored_present = [t for t in q.scored_terms if t in stats_map]
+        if not scored_present:
+            continue
+        live[qid] = q
+        need_terms.update(scored_present)
+        need_terms.update(t for t in q.must_not if t in stats_map)
 
-    if not qmap_rows:
+    if not live:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
-    qmap = F.broadcast(
-        spark.createDataFrame(qmap_rows, "query_id string, term string, occur string")
-    )
-    need = sorted({r[1] for r in qmap_rows})
-    decoded = _decode_postings(postings_for_terms(index, need, stats_map))
+
+    # ONE decode of the union term set -> pivot to one row per doc with a
+    # partial-score column per term (20-ish columns). No per-query row
+    # fan-out: N queries' scores are then pure column expressions over the
+    # pivoted row, exploded to (query_id, score) pairs and cut by Spark's
+    # WindowGroupLimit partial top-k BEFORE the final exchange. The only
+    # wide shuffle is the pivot groupBy on doc_id (|decoded| rows, once).
+    terms = sorted(need_terms)
+    col_of = {t: f"_t{i}" for i, t in enumerate(terms)}
+    decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
     scored = decoded.withColumn(
         "partial",
         bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
-    ).join(qmap, "term")
-
-    any_must = any(occ == "must" for _, _, occ in qmap_rows) or any(
-        n >= 10**6 for _, n in must_counts
     )
-    aggs = [F.sum("partial").alias("score")]
-    if any_must:
-        aggs.append(
-            F.count_distinct(F.when(F.col("occur") == "must", F.col("term"))).alias("_mh")
-        )
-    grouped = scored.groupBy("query_id", "doc_id").agg(*aggs)
-    if any_must:
-        mc = F.broadcast(spark.createDataFrame(must_counts, "query_id string, _need int"))
-        grouped = (
-            grouped.join(mc, "query_id")
-            .filter(F.col("_mh") == F.col("_need"))
-            .drop("_mh", "_need")
-        )
+    pivoted = (
+        scored.groupBy("doc_id")
+        .pivot("term", terms)
+        .agg(F.first("partial"))
+        .select("doc_id", *[F.col(t).alias(col_of[t]) for t in terms])
+    )
 
-    if not_rows:
-        # separate, pruned decode for exclusions — keeps the main scoring
-        # scan narrow and avoids re-decoding it for the anti-join branch
-        nmap = F.broadcast(
-            spark.createDataFrame(not_rows, "query_id string, term string")
+    branches = []
+    for qid, q in live.items():
+        scored_present = [t for t in q.scored_terms if t in stats_map]
+        score = None
+        for t in scored_present:
+            c = F.coalesce(F.col(col_of[t]), F.lit(0.0))
+            score = c if score is None else score + c
+        any_present = F.col(col_of[scored_present[0]]).isNotNull()
+        for t in scored_present[1:]:
+            any_present = any_present | F.col(col_of[t]).isNotNull()
+        conds = [any_present]
+        for t in set(q.must):
+            conds.append(F.col(col_of[t]).isNotNull())
+        for t in set(q.must_not):
+            if t in col_of:
+                conds.append(F.col(col_of[t]).isNull())
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        branches.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.when(cond, score).alias("score"),
+            )
         )
-        nterms = sorted({t for _, t in not_rows})
-        excl = (
-            _decode_postings(postings_for_terms(index, nterms, stats_map))
-            .join(nmap, "term")
-            .select("query_id", "doc_id")
-            .distinct()
-        )
-        grouped = grouped.join(excl, ["query_id", "doc_id"], "left_anti")
+    grouped = (
+        pivoted.select("doc_id", F.explode(F.array(*branches)).alias("_q"))
+        .select("doc_id", "_q.query_id", "_q.score")
+        .filter(F.col("score").isNotNull())
+    )
 
     grouped = _alive(index, grouped)
     if round_decimals is not None:

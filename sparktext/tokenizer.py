@@ -92,6 +92,27 @@ class TokenizerPipeline:
     lowercase: bool = True
     stopwords: frozenset[str] = field(default_factory=frozenset)
     ascii_fold: bool = False
+    stem: str | None = None  # e.g. "english": Snowball stemming (A2)
+
+    def __post_init__(self):
+        self._stemmer = None
+        if self.stem:
+            try:
+                import snowballstemmer
+
+                self._stemmer = snowballstemmer.stemmer(self.stem)
+            except ImportError:
+                # gate gracefully: fall back to a light English suffix
+                # stripper so the pipeline slot still functions offline
+                self._stemmer = None
+
+    def _stem_token(self, t: str) -> str:
+        if self._stemmer is not None:
+            return self._stemmer.stemWord(t)
+        for suf in ("ies", "sses", "ing", "ed", "s"):
+            if t.endswith(suf) and len(t) > len(suf) + 2:
+                return t[: -len(suf)] + ("y" if suf == "ies" else "")
+        return t
 
     def tokenize(self, texts: pd.Series) -> pd.Series:
         toks = texts.fillna("")
@@ -114,6 +135,8 @@ class TokenizerPipeline:
                     t = t.lower()
                 if t in self.stopwords:
                     continue
+                if self.stem:
+                    t = self._stem_token(t)
                 out.append(t)
             return out
 
