@@ -88,6 +88,16 @@ def main() -> None:
 
     run("q_agg_fused", fused)
 
+    # WAND pruning evidence: candidate blocks vs total blocks for the
+    # OR query (results proven identical in tests/test_wand.py).
+    from sparktext.query import parse_query, postings_for_terms
+    from sparktext.score import term_stats, wand_candidate_blocks
+
+    wq = parse_query("query window scan").scored_terms
+    sm = term_stats(index, wq)
+    wand_total = postings_for_terms(index, wq, sm).count()
+    wand_kept = wand_candidate_blocks(index, wq, 10, sm).count()
+
     import json as _json
 
     qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
@@ -123,6 +133,8 @@ def main() -> None:
         "build_files_per_sec": round(n_docs / build_s, 1),
         "queries_per_sec": round(len(query_names) / qsum, 2) if qsum else None,
         "batch_queries_per_sec": round(len(fixture_queries) / timings["q_batch20"], 2),
+        "wand_blocks_total": wand_total,
+        "wand_blocks_kept": wand_kept,
     }))
 
 

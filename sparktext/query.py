@@ -292,36 +292,33 @@ def search_many(
         .select("doc_id", *[F.col(t).alias(col_of[t]) for t in terms])
     )
 
-    branches = []
+    # Branches are generated as ONE SQL string (a single py4j round trip):
+    # building thousands of Column objects through py4j is pure serial
+    # driver time (~8s for 200 queries). The array is null-filtered
+    # BEFORE explode so non-matching (doc, query) pairs never materialize.
+    branches_sql = []
     for qid, q in live.items():
         scored_present = [t for t in q.scored_terms if t in stats_map]
-        score = None
-        for t in scored_present:
-            c = F.coalesce(F.col(col_of[t]), F.lit(0.0))
-            score = c if score is None else score + c
-        any_present = F.col(col_of[scored_present[0]]).isNotNull()
-        for t in scored_present[1:]:
-            any_present = any_present | F.col(col_of[t]).isNotNull()
-        conds = [any_present]
-        for t in set(q.must):
-            conds.append(F.col(col_of[t]).isNotNull())
-        for t in set(q.must_not):
-            if t in col_of:
-                conds.append(F.col(col_of[t]).isNull())
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond & c
-        branches.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                F.when(cond, score).alias("score"),
-            )
+        score = " + ".join(f"COALESCE({col_of[t]}, 0.0D)" for t in scored_present)
+        conds = [
+            "(" + " OR ".join(f"{col_of[t]} IS NOT NULL" for t in scored_present) + ")"
+        ]
+        conds += [f"{col_of[t]} IS NOT NULL" for t in sorted(set(q.must))]
+        conds += [
+            f"{col_of[t]} IS NULL" for t in sorted(set(q.must_not)) if t in col_of
+        ]
+        qid_lit = qid.replace("'", "''")
+        branches_sql.append(
+            f"named_struct('query_id', '{qid_lit}', 'score', "
+            f"CASE WHEN {' AND '.join(conds)} THEN {score} END)"
         )
-    grouped = (
-        pivoted.select("doc_id", F.explode(F.array(*branches)).alias("_q"))
-        .select("doc_id", "_q.query_id", "_q.score")
-        .filter(F.col("score").isNotNull())
+    gen = (
+        "explode(filter(array(" + ", ".join(branches_sql) + "), "
+        "x -> x.score IS NOT NULL))"
     )
+    grouped = pivoted.select(
+        "doc_id", F.expr(gen).alias("_q")
+    ).select("doc_id", "_q.query_id", "_q.score")
 
     grouped = _alive(index, grouped)
     if round_decimals is not None:
