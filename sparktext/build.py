@@ -203,12 +203,19 @@ def _tokenize_partition(
         yield pd.concat([postings, meta], ignore_index=True) if postings is not None else meta
 
 
+#: doc-metadata columns carried through the fused worker (nullable on
+#: block rows). n_chars is always in the schema; null when absent.
+_META_CARRY = ("repo", "path", "commit", "lang", "sha")
+
 _FUSED_SCHEMA = (
     "kind tinyint, segment_id int, term string, block_id int, count int, "
     "first_doc long, last_doc long, max_tf int, sum_tf long, min_norm_id int, "
     "doc_bits int, doc_bytes binary, tf_bytes binary, norm_bytes binary, "
-    "doc_id long, doc_len int"
+    "doc_id long, doc_len int, norm_id int, "
+    "repo string, path string, commit string, lang string, sha string, "
+    "n_chars long"
 )
+_FUSED_COLS = [c.split()[0] for c in _FUSED_SCHEMA.split(", ")]
 
 
 def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,7 +223,8 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
     tokenize AND encode posting blocks inside ONE mapInPandas pass —
     segment == partition, so no token-level shuffle and no token-level
     persist ever materializes. Emits kind=0 block rows (BLOCK_SCHEMA
-    fields) + kind=1 doc rows (doc_id, doc_len).
+    fields) + kind=1 doc rows carrying the FULL doc metadata incl.
+    norm_id, so doc_meta needs no downstream join at all.
 
     Accumulates the partition's (doc, term, tf) frame across Arrow
     batches; memory is bounded by segment sizing (seg_size docs), which
@@ -248,9 +256,18 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                     }
                 )
             )
-        meta_parts.append(
-            pd.DataFrame({"segment_id": seg_ids, "doc_id": doc_ids, "doc_len": doc_len})
+        mp = pd.DataFrame(
+            {"segment_id": seg_ids, "doc_id": doc_ids, "doc_len": doc_len}
         )
+        mp["norm_id"] = fieldnorm_to_id(doc_len).astype(np.int32)
+        for c in _META_CARRY:
+            mp[c] = pdf[c].to_numpy() if c in pdf.columns else None
+        mp["n_chars"] = (
+            pdf["n_chars"].to_numpy() if "n_chars" in pdf.columns else np.int64(0)
+        )
+        if "n_chars" not in pdf.columns:
+            mp["n_chars"] = None
+        meta_parts.append(mp)
 
     out_blocks: list[pd.DataFrame] = []
     if acc:
@@ -269,8 +286,13 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
     if out_blocks:
         blocks = pd.concat(out_blocks, ignore_index=True)
         blocks.insert(0, "kind", np.int8(0))
-        blocks["doc_id"] = np.int64(0)
+        for c in ("doc_id",):
+            blocks[c] = np.int64(0)
         blocks["doc_len"] = np.int32(0)
+        blocks["norm_id"] = np.int32(0)
+        for c in _META_CARRY:
+            blocks[c] = None
+        blocks["n_chars"] = None
         frames.append(blocks)
     if meta_parts:
         meta = pd.concat(meta_parts, ignore_index=True)
@@ -292,13 +314,15 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                 "norm_bytes": None,
                 "doc_id": meta["doc_id"].to_numpy(),
                 "doc_len": meta["doc_len"].to_numpy().astype(np.int32),
+                "norm_id": meta["norm_id"].to_numpy(),
             }
         )
+        for c in _META_CARRY:
+            mf[c] = meta[c].to_numpy()
+        mf["n_chars"] = meta["n_chars"].to_numpy()
         frames.append(mf)
     if frames:
-        yield pd.concat(frames, ignore_index=True)[
-            [c.split()[0] for c in _FUSED_SCHEMA.split(", ")]
-        ]
+        yield pd.concat(frames, ignore_index=True)[_FUSED_COLS]
 
 
 #: Salt chunk (§4.7): posting rows are grouped by (segment, term,
@@ -396,17 +420,18 @@ def build_index(
     corpus = assign_doc_ids(corpus, num_segments)
     n_docs = corpus.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
-    # Repartition BEFORE the sha projection and persist: otherwise the
-    # per-row sha256 (and any upstream narrow prep like a replicate
-    # cross-join) materializes on the INPUT partitioning — one small
-    # source file would serialize the whole prep on a single task.
+    # Repartition BEFORE the sha projection: otherwise the per-row sha256
+    # (and any upstream narrow prep like a replicate cross-join)
+    # materializes on the INPUT partitioning — one small source file
+    # would serialize the whole prep on a single task.
     corpus = with_sha(
         corpus.withColumn("segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
         .repartition(num_segments, "segment_id")
-    ).persist()
+    )
 
     positions = None
     if with_positions:
+        corpus = corpus.persist()  # two consumers on this path
         # positions path: token-level rows are needed anyway, so use the
         # two-step build (tokenize rows -> salted encode).
         tokens = (
@@ -423,20 +448,28 @@ def build_index(
         postings = encode_posting_blocks(posting_rows.drop("positions"), n_buckets).persist()
     else:
         # Fused fast path (SURVEY A4): tokenize + block-encode in ONE
-        # mapInPandas over segment partitions — zero token-level shuffle,
-        # and the persisted intermediate is block headers + doc lens
-        # (~100x smaller than token rows).
+        # mapInPandas over segment partitions — zero token-level shuffle;
+        # the persisted intermediate is block headers + doc-meta rows
+        # (~100x smaller than token rows), and doc_meta comes straight
+        # out of the same pass (no join, no second corpus scan).
+        carry = [c for c in (*_META_CARRY, "n_chars") if c in corpus.columns]
         fused = (
-            corpus.select("doc_id", "segment_id", "content")
+            corpus.select("doc_id", "segment_id", "content", *carry)
             .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
             .persist()
         )
         postings = (
             fused.filter(F.col("kind") == 0)
-            .drop("kind", "doc_id", "doc_len")
+            .select("segment_id", "term", "block_id", "count", "first_doc",
+                    "last_doc", "max_tf", "sum_tf", "min_norm_id",
+                    "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
             .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
         )
         meta_rows = fused.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+        doc_meta = fused.filter(F.col("kind") == 1).select(
+            "doc_id", "segment_id", *_META_CARRY, "doc_len", "norm_id",
+            *(["n_chars"] if "n_chars" in corpus.columns else []),
+        )
 
     # A6: global term statistics, derived from BLOCK HEADERS (128x fewer
     # rows than postings). The groupBy is algebraic -> map-side partial
@@ -448,19 +481,20 @@ def build_index(
         .persist()
     )
 
-    norm_udf = F.pandas_udf(
-        lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
-    )
-    doc_meta = (
-        corpus.join(meta_rows, "doc_id")
-        .withColumn("norm_id", norm_udf(F.col("doc_len")))
-        .select(
-            "doc_id", "segment_id", "repo", "path", "commit", "lang",
-            "doc_len", "norm_id", "sha",
-            *(["n_chars"] if "n_chars" in corpus.columns else []),
+    if with_positions:
+        norm_udf = F.pandas_udf(
+            lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
         )
-        .persist()
-    )
+        doc_meta = (
+            corpus.join(meta_rows, "doc_id")
+            .withColumn("norm_id", norm_udf(F.col("doc_len")))
+            .select(
+                "doc_id", "segment_id", "repo", "path", "commit", "lang",
+                "doc_len", "norm_id", "sha",
+                *(["n_chars"] if "n_chars" in corpus.columns else []),
+            )
+        )
+    doc_meta = doc_meta.persist()
 
     total_tokens = meta_rows.agg(F.sum("doc_len")).collect()[0][0] or 0
     stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))

@@ -272,53 +272,51 @@ def search_many(
     if not live:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
-    # ONE decode of the union term set -> pivot to one row per doc with a
-    # partial-score column per term (20-ish columns). No per-query row
-    # fan-out: N queries' scores are then pure column expressions over the
-    # pivoted row, exploded to (query_id, score) pairs and cut by Spark's
-    # WindowGroupLimit partial top-k BEFORE the final exchange. The only
-    # wide shuffle is the pivot groupBy on doc_id (|decoded| rows, once).
+    # ONE decode of the union term set -> one row per doc holding a
+    # term->partial-score MAP, then a BROADCAST join against the tiny
+    # (query_id, terms, must, must_not) table: each query's score is
+    # aggregate() over its term list via map lookups, match/must/must_not
+    # are exists/forall. The expression tree is CONSTANT-SIZE regardless
+    # of query count (no per-query Catalyst/janino compile cost — a
+    # 200-branch generated expression costs seconds of serial driver
+    # time), work is purely data-parallel, and per-query top-k is cut by
+    # WindowGroupLimit's partial heap before the only qid exchange.
     terms = sorted(need_terms)
-    col_of = {t: f"_t{i}" for i, t in enumerate(terms)}
     decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
     scored = decoded.withColumn(
         "partial",
         bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
     )
-    pivoted = (
-        scored.groupBy("doc_id")
-        .pivot("term", terms)
-        .agg(F.first("partial"))
-        .select("doc_id", *[F.col(t).alias(col_of[t]) for t in terms])
+    doc_maps = scored.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "partial"))).alias("pm")
     )
-
-    # Branches are generated as ONE SQL string (a single py4j round trip):
-    # building thousands of Column objects through py4j is pure serial
-    # driver time (~8s for 200 queries). The array is null-filtered
-    # BEFORE explode so non-matching (doc, query) pairs never materialize.
-    branches_sql = []
+    qrows = []
     for qid, q in live.items():
-        scored_present = [t for t in q.scored_terms if t in stats_map]
-        score = " + ".join(f"COALESCE({col_of[t]}, 0.0D)" for t in scored_present)
-        conds = [
-            "(" + " OR ".join(f"{col_of[t]} IS NOT NULL" for t in scored_present) + ")"
-        ]
-        conds += [f"{col_of[t]} IS NOT NULL" for t in sorted(set(q.must))]
-        conds += [
-            f"{col_of[t]} IS NULL" for t in sorted(set(q.must_not)) if t in col_of
-        ]
-        qid_lit = qid.replace("'", "''")
-        branches_sql.append(
-            f"named_struct('query_id', '{qid_lit}', 'score', "
-            f"CASE WHEN {' AND '.join(conds)} THEN {score} END)"
+        qrows.append(
+            (
+                qid,
+                [t for t in q.scored_terms if t in stats_map],
+                sorted(set(q.must)),
+                sorted(t for t in set(q.must_not) if t in stats_map),
+            )
         )
-    gen = (
-        "explode(filter(array(" + ", ".join(branches_sql) + "), "
-        "x -> x.score IS NOT NULL))"
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            qrows,
+            "query_id string, terms array<string>, must array<string>, "
+            "mnot array<string>",
+        )
     )
-    grouped = pivoted.select(
-        "doc_id", F.expr(gen).alias("_q")
-    ).select("doc_id", "_q.query_id", "_q.score")
+    joined = doc_maps.join(qdf)  # broadcast nested-loop fan-out, no shuffle
+    cond = F.expr(
+        "exists(terms, t -> pm[t] IS NOT NULL) "
+        "AND forall(must, t -> pm[t] IS NOT NULL) "
+        "AND forall(mnot, t -> pm[t] IS NULL)"
+    )
+    score = F.expr("aggregate(terms, 0D, (acc, t) -> acc + coalesce(pm[t], 0D))")
+    grouped = joined.filter(cond).select(
+        "doc_id", "query_id", score.alias("score")
+    )
 
     grouped = _alive(index, grouped)
     if round_decimals is not None:
