@@ -39,6 +39,34 @@ def test_wand_equals_exhaustive_sf0001(doc_index, qstr, k):
     assert _topk(doc_index, qstr, k, False) == _topk(doc_index, qstr, k, True)
 
 
+def test_wand_actually_prunes_on_skewed_tf(spark):
+    """A corpus where a few docs have tf=10 and hundreds have tf=1: the
+    seed θ (from the high-ub block) must exceed the tf=1 blocks' bounds,
+    so WAND must PRUNE them — and still return identical top-k."""
+    rows = []
+    for i in range(600):
+        tf = 10 if i < 10 else 1
+        content = " ".join(["hot"] * tf + ["pad", f"w{i % 7}"])
+        rows.append((i, "r", f"p/{i}", f"c{i}", "py", content, len(content)))
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, "
+        "content string, n_chars long",
+    )
+    from sparktext.build import build_index
+    from sparktext.query import postings_for_terms
+    from sparktext.score import term_stats, wand_candidate_blocks
+
+    # one segment -> >4 blocks of 128 docs for 'hot'
+    index = build_index(spark, corpus, num_segments=1)
+    stats_map = term_stats(index, ["hot"])
+    total = postings_for_terms(index, ["hot"], stats_map).count()
+    kept = wand_candidate_blocks(index, ["hot"], 5, stats_map).count()
+    assert total >= 5
+    assert kept < total  # pruning really happened
+    assert _topk(index, "hot", 5, False) == _topk(index, "hot", 5, True)
+
+
 def test_wand_prunes_blocks(doc_index):
     """The candidate set must not exceed the full block set; on a corpus
     with >k docs per term it should genuinely shrink it."""

@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERY_DUP = 10
+QUERY_DUP = int(os.environ.get("SPARK_GRAFT_QDUP", "10"))
 CORPUS_FILES = 64
 
 
@@ -86,6 +86,22 @@ def run_single(parallelism: int, reps: int) -> None:
 
     corpus = spark.read.parquet(corpus_path(reps))
 
+    # Warmup (NOT timed): spin up one Python worker per task slot (each
+    # cold-imports pandas/numpy/sparktext, ~2s) and let the JVM JIT the
+    # scan/shuffle paths. We measure steady-state throughput — a real
+    # cluster amortizes these one-time costs over hours, and leaving them
+    # inside a ~15s window swamps the scaling signal at both levels.
+    def _warm(batches):
+        import sparktext.build  # noqa: F401  (worker-side import warmup)
+
+        for pdf in batches:
+            yield pdf
+
+    corpus.count()
+    spark.range(parallelism * 8, numPartitions=parallelism * 2).mapInPandas(
+        _warm, "id long"
+    ).count()
+
     t0 = time.time()
     index = build_index(spark, corpus, num_segments=parallelism * 2)
     index.postings.count()
@@ -123,9 +139,15 @@ def orchestrate(reps: int) -> None:
     # in alternating order defends the ratio against it.
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for p in (8, 32, 32, 8):
+        # taskset pins each level to exactly its core budget: local[8] on
+        # an unpinned 32-core box is NOT an 8-core cluster node — JVM
+        # GC/shuffle/IO threads and Python workers spill onto the idle 24
+        # cores, inflating the small-cluster baseline and corrupting the
+        # efficiency ratio. Pinning models two dedicated cluster sizes.
+        cmd = ["taskset", "-c", f"0-{p - 1}", sys.executable,
+               os.path.abspath(__file__), "--single", str(p), str(reps)]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(p), str(reps)],
-            capture_output=True, text=True, cwd=REPO, timeout=1200,
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=1200,
         )
         line = out.stdout.strip().splitlines()[-1]
         runs[p].append(json.loads(line))
