@@ -23,7 +23,10 @@ DEFAULT_CONF = {
     # Keep broadcast threshold generous: term dictionaries are small.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode = ONE JVM doing executor work: size the heap to the box
+    # (128 GiB here), not to a driver-only footprint — an 8g heap turns
+    # multi-million-doc builds GC-bound at every parallelism level.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
