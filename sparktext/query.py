@@ -281,56 +281,39 @@ def search_many(
     # 200-branch generated expression costs seconds of serial driver
     # time), work is purely data-parallel, and per-query top-k is cut by
     # WindowGroupLimit's partial heap before the only qid exchange.
-    # Terms get DENSE query-local ids (0..n-1): the per-doc score vector
-    # is a fixed-layout array<double> (NaN = term absent), so per-query
-    # lookups are O(1) integer indexing on compact rows — no string maps
-    # in the shuffle, no per-lookup string hashing in the 100M+-pair fan.
     terms = sorted(need_terms)
-    tid_of = {t: i for i, t in enumerate(terms)}
-    nterms = len(terms)
     decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
-    tid_pairs = []
-    for t, i in tid_of.items():
-        tid_pairs.extend([F.lit(t), F.lit(i)])
-    scored = decoded.select(
-        "doc_id",
-        F.element_at(F.create_map(*tid_pairs), F.col("term")).alias("tid"),
-        bm25_score_col(
-            index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
-        ).alias("partial"),
+    scored = decoded.withColumn(
+        "partial",
+        bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
     )
-    # dense score vector per doc: int-keyed map -> positional array
-    # (NULL where the doc lacks the term)
-    doc_vecs = scored.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("tid", "partial"))).alias("_pm")
-    ).select(
-        "doc_id",
-        F.expr(f"transform(sequence(0, {nterms - 1}), i -> _pm[i])").alias("pv"),
+    doc_maps = scored.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "partial"))).alias("pm")
     )
     qrows = []
     for qid, q in live.items():
         qrows.append(
             (
                 qid,
-                [tid_of[t] for t in q.scored_terms if t in stats_map],
-                sorted({tid_of[t] for t in q.must}),
-                sorted({tid_of[t] for t in set(q.must_not) if t in stats_map}),
+                [t for t in q.scored_terms if t in stats_map],
+                sorted(set(q.must)),
+                sorted(t for t in set(q.must_not) if t in stats_map),
             )
         )
     qdf = F.broadcast(
         spark.createDataFrame(
             qrows,
-            "query_id string, tids array<int>, must array<int>, mnot array<int>",
+            "query_id string, terms array<string>, must array<string>, "
+            "mnot array<string>",
         )
     )
-    joined = doc_vecs.join(qdf)  # broadcast nested-loop fan-out, no shuffle
-    # NB: SQL array subscript arr[i] is 0-based (element_at is 1-based)
+    joined = doc_maps.join(qdf)  # broadcast nested-loop fan-out, no shuffle
     cond = F.expr(
-        "exists(tids, t -> pv[t] IS NOT NULL) "
-        "AND forall(must, t -> pv[t] IS NOT NULL) "
-        "AND forall(mnot, t -> pv[t] IS NULL)"
+        "exists(terms, t -> pm[t] IS NOT NULL) "
+        "AND forall(must, t -> pm[t] IS NOT NULL) "
+        "AND forall(mnot, t -> pm[t] IS NULL)"
     )
-    score = F.expr("aggregate(tids, 0D, (acc, t) -> acc + coalesce(pv[t], 0D))")
+    score = F.expr("aggregate(terms, 0D, (acc, t) -> acc + coalesce(pm[t], 0D))")
     grouped = joined.filter(cond).select(
         "doc_id", "query_id", score.alias("score")
     )
