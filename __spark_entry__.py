@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf_dir)
         return prefix_docs(idx, "s").orderBy("doc_id")
 
+    def search_regex(spark, sf_dir):
+        from sparktext.query import regex_docs
+
+        idx = _index(spark, sf_dir)
+        return regex_docs(idx, "^s.*n$").orderBy("doc_id")
+
     def agg_count(spark, sf_dir):
         _, m = _matched(spark, sf_dir, "spark")
         return metrics_agg(m, [CountAgg()])
@@ -236,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": search_phrase,
         "search_term_range": search_term_range,
         "search_prefix": search_prefix,
+        "search_regex": search_regex,
         "agg_count": agg_count,
         "agg_stats": agg_stats,
         "agg_terms_lang": agg_terms_lang,
@@ -330,7 +337,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "index_term_dict": f"""
 WITH {_TOK}, {_TF}
-SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS total_tf FROM tf GROUP BY term""",
+SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term""",
         "index_doc_norms": f"""
 WITH {_TOK}, {_DL}, {norm_values_sql()}
 SELECT doc_id, doc_len,
@@ -357,8 +364,9 @@ SELECT COUNT(*) AS count FROM matched""",
         "agg_stats": f"""
 WITH {_TOK}, {_DL}, {_MATCHED_SPARK}
 SELECT COUNT(*) AS count, MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
-       COALESCE(SUM(n_chars), 0) AS sum_n_chars,
-       COUNT(doc_len) AS doc_len_count, COALESCE(SUM(doc_len), 0) AS doc_len_sum,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars,
+       COUNT(doc_len) AS doc_len_count,
+       CAST(COALESCE(SUM(doc_len), 0) AS BIGINT) AS doc_len_sum,
        MIN(doc_len) AS doc_len_min, MAX(doc_len) AS doc_len_max,
        AVG(CAST(doc_len AS DOUBLE)) AS doc_len_avg
 FROM matched JOIN dl USING (doc_id)""",
@@ -369,7 +377,8 @@ FROM matched JOIN dl USING (doc_id)
 GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 5""",
         "agg_terms_repo_top10": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
-SELECT source AS repo, COUNT(*) AS count, COALESCE(SUM(n_chars),0) AS sum_n_chars
+SELECT source AS repo, COUNT(*) AS count,
+       CAST(COALESCE(SUM(n_chars),0) AS BIGINT) AS sum_n_chars
 FROM matched GROUP BY source ORDER BY count DESC, repo ASC LIMIT 10""",
         "agg_histogram": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
@@ -387,7 +396,7 @@ FROM matched GROUP BY 1""",
 WITH {_TOK}, {_MATCHED_SPARK}
 SELECT COUNT(*) AS total,
        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en_count,
-       COALESCE(SUM(CASE WHEN lang = 'en' THEN n_chars END), 0) AS en_sum
+       CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN n_chars END), 0) AS BIGINT) AS en_sum
 FROM matched""",
         "agg_percentiles": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
@@ -428,6 +437,10 @@ WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""",
 WITH {_TOK}
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok
 WHERE term LIKE 's%' ORDER BY doc_id""",
+        "search_regex": f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE regexp_matches(term, '^s.*n$') ORDER BY doc_id""",
         "agg_terms_nested": f"""
 WITH {_TOK}, {_MATCHED_SPARK},
 b AS (SELECT lang, source AS repo, COUNT(*) AS count FROM matched GROUP BY lang, source),
@@ -438,9 +451,10 @@ b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo 
 SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
         "agg_composed": f"""
 WITH {_TOK}, {_DL}, {_matched_sql(["query", "window"])}
-SELECT COUNT(*) AS count, COALESCE(SUM(doc_len), 0) AS sum_doc_len,
+SELECT COUNT(*) AS count, CAST(COALESCE(SUM(doc_len), 0) AS BIGINT) AS sum_doc_len,
        MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
-       COUNT(n_chars) AS n_chars_count, COALESCE(SUM(n_chars), 0) AS n_chars_sum,
+       COUNT(n_chars) AS n_chars_count,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars_sum,
        MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
        AVG(CAST(n_chars AS DOUBLE)) AS n_chars_avg
 FROM matched JOIN dl USING (doc_id)""",

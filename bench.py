@@ -83,8 +83,10 @@ def main() -> None:
             bucket_aggs={"by_lang": ("terms", "lang", 5, []),
                          "hist": ("histogram", "n_chars", 100.0, 0.0, [])},
         )
+        release = out.pop("release")
         for df in out.values():
             df.collect()
+        release()  # cache hygiene: no growth across repeated queries
 
     run("q_agg_fused", fused)
 

@@ -287,11 +287,24 @@ def agg_search(
     ``post_filter`` (C9): SQL predicate applied to hits ONLY — every
     aggregation still sees the pre-filter matched set (faceted-search UX).
 
-    Returns dict with "hits" plus one DataFrame per aggregation.
+    ``exhaustive=False`` (WAND pruning) is a HITS-ONLY optimization: the
+    pruned matched set only guarantees the global top-k, so aggregations
+    or a post_filter over it would silently aggregate a subset (and the
+    best post-filtered docs may have been pruned). Requesting both raises.
+
+    Returns dict with "hits" plus one DataFrame per aggregation, plus a
+    ``release()`` callable that unpersists the shared matched set once
+    every consumer has materialized — call it in long-lived sessions or
+    the per-query cache accumulates without bound.
     """
     from sparktext.query import matched_docs, parse_query
     from sparktext.topk import top_k
 
+    if not exhaustive and (metric_aggs or bucket_aggs or post_filter):
+        raise ValueError(
+            "exhaustive=False (WAND) is hits-only: aggregations/post_filter "
+            "require the full matched set — use exhaustive=True"
+        )
     query = parse_query(query_str)
     matched = matched_docs(index, query, exhaustive=exhaustive, k=k)
     enriched = matched.join(index.doc_meta, "doc_id").persist()
@@ -315,4 +328,5 @@ def agg_search(
             out[name] = range_agg(enriched, fld, edges, subs)
         else:
             raise ValueError(f"unknown bucket agg kind {kind!r}")
+    out["release"] = lambda: enriched.unpersist()
     return out

@@ -109,6 +109,16 @@ def encode_blocks(
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norm_ids = np.asarray(norm_ids, dtype=np.uint8)
+    # A duplicate / unsorted doc_id would make (diff-1) wrap to a huge
+    # uint64 and silently write a corrupt index — fail loudly instead
+    # (duplicate caller-supplied doc_ids are the realistic trigger).
+    if doc_ids.size > 1 and not np.all(np.diff(doc_ids) > 0):
+        bad = int(np.argmin(np.diff(doc_ids) > 0))
+        raise ValueError(
+            "encode_blocks requires strictly increasing doc_ids; "
+            f"violation near index {bad}: {doc_ids[bad]} -> {doc_ids[bad + 1]} "
+            "(duplicate doc_id in the corpus?)"
+        )
     rows = []
     for b, i in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
         d = doc_ids[i : i + BLOCK_SIZE]

@@ -17,6 +17,19 @@ ids are global and segment doc-ranges contiguous, so a merge is:
 4. doc_meta gets the new segment_id by the same projection; term_dict
    and corpus stats are segment-independent and carry over unchanged.
 
+Deletes are PURGED at merge (tantivy's IndexMerger applies the alive
+bitset): decoded postings, doc_meta and positions are anti-joined against
+the tombstone table before re-encode, and the merged index carries
+``deleted=None``. term_dict/stats stay the PRE-delete values on purpose —
+the tombstone query path scores with pre-delete statistics (tantivy
+likewise keeps deleted docs in segment stats until they are rewritten),
+so keeping them makes merge query-transparent: build→delete→merge→query
+returns exactly what build→delete→query returns (asserted in
+tests/test_merge.py::test_merge_after_delete).
+
+Positions (phrase index) are carried through with the same segment
+reassignment, so phrase queries keep working on merged indexes.
+
 The merged index must answer every query identically (asserted in
 tests/test_merge.py, including a synthetic 50%-doc-frequency skew term).
 """
@@ -42,18 +55,29 @@ def merge_segments(index: Index, num_segments: int) -> Index:
         lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
         schema="segment_id int, term string, doc_id long, tf long, norm_id long",
     )
-    reassigned = decoded.withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
-    )
+    new_seg = (F.col("doc_id") / F.lit(seg_size)).cast("int")
+
+    doc_meta = index.doc_meta.withColumn("segment_id", new_seg)
+    positions = index.positions
+    if positions is not None:
+        positions = positions.withColumn("segment_id", new_seg)
+    if index.deleted is not None:
+        # Purge tombstones (tantivy merge semantics): drop deleted docs
+        # from every doc-mapped table before re-encoding.
+        decoded = decoded.join(index.deleted, "doc_id", "left_anti")
+        doc_meta = doc_meta.join(index.deleted, "doc_id", "left_anti")
+        if positions is not None:
+            positions = positions.join(index.deleted, "doc_id", "left_anti")
+
+    reassigned = decoded.withColumn("segment_id", new_seg)
     postings = encode_posting_blocks(reassigned, index.n_buckets).persist()
 
-    doc_meta = index.doc_meta.withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
-    )
     return Index(
         doc_meta=doc_meta,
         postings=postings,
         term_dict=index.term_dict,
         stats=index.stats,
         n_buckets=index.n_buckets,
+        positions=positions,
+        deleted=None,
     )

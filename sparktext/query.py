@@ -99,18 +99,29 @@ def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = N
     if any(t not in stats_map for t in query.must):
         spark = index.postings.sparkSession
         return spark.createDataFrame([], "doc_id long, score double")
+    scored_present = [t for t in query.scored_terms if t in stats_map]
+    if not scored_present:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+    mn_present = sorted({t for t in query.must_not if t in stats_map})
 
     if not exhaustive and not query.must and not query.must_not and k:
         from sparktext.score import wand_candidate_blocks
 
-        blocks = wand_candidate_blocks(index, query.scored_terms, k, stats_map)
+        blocks = wand_candidate_blocks(index, scored_present, k, stats_map)
     else:
-        blocks = postings_for_terms(index, query.scored_terms, stats_map)
+        # ONE decode scan covers scored AND must_not terms: exclusion
+        # terms contribute no score (partial zeroed) but flag the doc for
+        # removal in the same groupBy — no second postings scan.
+        blocks = postings_for_terms(index, scored_present + mn_present, stats_map)
 
     scored = _decode_postings(blocks)
-    scored = scored.withColumn(
-        "partial", bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id"))
+    partial = bm25_score_col(
+        index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
     )
+    if mn_present:
+        partial = F.when(F.col("term").isin(mn_present), F.lit(0.0)).otherwise(partial)
+    scored = scored.withColumn("partial", partial)
 
     aggs = [F.sum("partial").alias("score")]
     if query.must:
@@ -120,14 +131,18 @@ def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = N
                 F.when(F.col("term").isin(list(must_set)), F.col("term"))
             ).alias("_must_hits")
         )
+    if mn_present:
+        aggs.append(
+            F.max(F.when(F.col("term").isin(mn_present), 1).otherwise(0)).alias("_mn")
+        )
     grouped = scored.groupBy("doc_id").agg(*aggs)
     if query.must:
         grouped = grouped.filter(F.col("_must_hits") == len(set(query.must))).drop("_must_hits")
-
-    mn_present = [t for t in query.must_not if t in stats_map]
     if mn_present:
-        excl = _decode_postings(postings_for_terms(index, mn_present, stats_map)).select("doc_id").distinct()
-        grouped = grouped.join(excl, "doc_id", "left_anti")
+        grouped = grouped.filter(F.col("_mn") == 0).drop("_mn")
+    # Docs matched ONLY by must_not terms were dropped by the _mn filter;
+    # docs matched only by should/must terms keep their full score (their
+    # zeroed must_not partials never existed).
     return _alive(index, grouped)
 
 
@@ -194,40 +209,44 @@ def term_range_docs(index, lo: str, hi: str, inclusive: bool = False) -> DataFra
     cond = (F.col("term") >= lo) & (
         (F.col("term") <= hi) if inclusive else (F.col("term") < hi)
     )
-    terms = [r["term"] for r in index.term_dict.filter(cond).select("term").collect()]
-    return _const_score_union(index, terms)
+    return _dict_expansion_union(index, cond)
 
 
 def prefix_docs(index, prefix: str) -> DataFrame:
     """B7 prefix query: dictionary expansion on the broadcast term dict."""
-    terms = [
-        r["term"]
-        for r in index.term_dict.filter(F.col("term").startswith(prefix)).select("term").collect()
-    ]
-    return _const_score_union(index, terms)
+    return _dict_expansion_union(index, F.col("term").startswith(prefix))
+
+
+def regex_docs(index, pattern: str) -> DataFrame:
+    """B7 regex query: dictionary expansion via rlike (tantivy RegexQuery
+    walks the FST with a regex automaton; the Spark twin filters the
+    vocabulary-sized dictionary — same pruning, no automaton needed)."""
+    return _dict_expansion_union(index, F.col("term").rlike(pattern))
 
 
 def fuzzy_docs(index, term: str, max_edits: int = 1) -> DataFrame:
     """B7 fuzzy query: Levenshtein expansion over the term dictionary
     (JVM levenshtein on the vocabulary-sized dict, never on docs)."""
-    terms = [
-        r["term"]
-        for r in index.term_dict.filter(
-            F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
-        ).select("term").collect()
-    ]
-    return _const_score_union(index, terms)
+    return _dict_expansion_union(
+        index, F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+    )
 
 
-def _const_score_union(index, terms: list[str]) -> DataFrame:
-    spark = index.postings.sparkSession
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
-    stats_map = term_stats(index, terms)
-    present = [t for t in terms if t in stats_map]
-    if not present:
-        return spark.createDataFrame([], "doc_id long, score double")
-    decoded = _decode_postings(postings_for_terms(index, present, stats_map))
+def _dict_expansion_union(index, dict_cond) -> DataFrame:
+    """Multi-term (B7) expansion WITHOUT materializing the vocabulary on
+    the driver: broadcast-JOIN postings against the filtered dictionary.
+
+    The old collect+isin shape would, at a real source-code vocabulary
+    (10^7-10^8 terms), pull millions of strings to the driver and compile
+    a megabyte-scale isin expression. The broadcast join keeps the
+    expansion distributed — the dictionary subset ships once per executor
+    and block headers are filtered JVM-side; on the persisted-parquet path
+    the join key includes the term_bucket partition column so dynamic
+    partition pruning can still skip files.
+    """
+    sub = index.term_dict.filter(dict_cond).select("term_bucket", "term")
+    blocks = index.postings.join(F.broadcast(sub), ["term_bucket", "term"])
+    decoded = _decode_postings(blocks)
     out = decoded.select("doc_id").distinct().withColumn("score", F.lit(1.0))
     return _alive(index, out)
 

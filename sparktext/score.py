@@ -17,13 +17,23 @@ tantivy's document-at-a-time algorithm (no Catalyst equivalent, §4.3):
   is increasing in tf and decreasing in dl, so this bounds any doc in it;
 - phase 1 decodes only the few highest-bound blocks per term and scores
   them exactly; the k-th best *partial* score is a valid lower bound θ of
-  the final k-th best score;
-- phase 2 keeps block B of term t iff ub(B) + Σ_{t'≠t} global_ub(t') >= θ.
-  Any doc all of whose blocks are pruned has true score < θ and cannot
-  enter the top-k; a doc with SOME pruned block already has true score
-  < θ (the prune condition bounds its total), so its underestimated score
-  cannot displace a true top-k member. Results are therefore identical to
-  exhaustive scoring (asserted in tests/test_wand.py).
+  the final k-th best score — this is the ONLY driver action in the
+  pruning path (one job, no persist);
+- phase 2 keeps block B of term t in segment s iff
+  ub(B) + Σ_{t'≠t} max_ub(t', s) >= θ. The "other terms" bound is
+  PER-SEGMENT (a doc's postings live in exactly one segment, so only
+  same-segment blocks of other terms can contribute to its score) — far
+  tighter than a global per-term bound when impact is clustered by doc
+  range, which is exactly the layout block-max WAND exploits. The bound
+  table is computed lazily from block headers (a groupBy 128x smaller
+  than postings) and broadcast-joined back — no second collect.
+
+Correctness: if B is pruned, every doc d in B has true score
+<= ub(B) + Σ_{t'≠t} max_ub(t', seg(d)) < θ <= k-th best; so no true
+top-k member ever loses a block (contradiction: its total would be < θ),
+and a pruned doc's underestimated score stays strictly below every true
+top-k score. Results are therefore identical to exhaustive scoring
+(asserted in tests/test_wand.py).
 """
 
 from __future__ import annotations
@@ -113,14 +123,21 @@ def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> Da
     blocks = blocks.withColumn("_ub", block_ub_col(index, stats_map))
 
     seeds_per_term = max(1, math.ceil(k / 128)) + 1
-    w = Window.partitionBy("term").orderBy(F.desc("_ub"), F.asc("segment_id"), F.asc("block_id"))
-    blocks = blocks.withColumn("_seed", F.row_number().over(w) <= seeds_per_term).persist()
+    w = Window.partitionBy("term").orderBy(
+        F.desc("_ub"), F.asc("segment_id"), F.asc("block_id")
+    )
+    seeded = blocks.withColumn("_seed", F.row_number().over(w) <= seeds_per_term)
 
-    # Phase 1: exact partial scores over seed blocks -> θ.
+    # Phase 1 — the ONLY driver action: exact partial scores over the seed
+    # blocks -> θ = k-th best partial sum (a valid lower bound on the
+    # final k-th best total). No persist: the header-level window is
+    # recomputed once more in the survivors plan — block headers are 128x
+    # smaller than postings, and not caching avoids the unbounded
+    # one-cached-DataFrame-per-query leak of the previous shape.
     from sparktext import codec
 
-    seed_decoded = (
-        blocks.filter("_seed")
+    seed_rows = (
+        seeded.filter("_seed")
         .select("segment_id", "term", "count", "first_doc",
                 "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
         .mapInPandas(
@@ -131,15 +148,19 @@ def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> Da
         .groupBy("doc_id").agg(F.sum("partial").alias("s"))
         .orderBy(F.desc("s")).limit(k).collect()
     )
-    theta = float(seed_decoded[-1]["s"]) if len(seed_decoded) >= k else 0.0
+    theta = float(seed_rows[-1]["s"]) if len(seed_rows) >= k else 0.0
 
-    # Phase 2: prune blocks whose bound can't reach θ.
-    gub_rows = blocks.groupBy("term").agg(F.max("_ub").alias("g")).collect()
-    gub = {r["term"]: float(r["g"]) for r in gub_rows}
-    total_gub = sum(gub.values())
-    other_pairs = []
-    for t, g in gub.items():
-        other_pairs.extend([F.lit(t), F.lit(total_gub - g)])
-    other_col = F.element_at(F.create_map(*other_pairs), F.col("term"))
-    survivors = blocks.filter(F.col("_seed") | (F.col("_ub") + other_col >= F.lit(theta)))
-    return survivors.drop("_ub", "_seed")
+    # Phase 2 (lazy, fused into the downstream query job): per-(segment,
+    # term) max bounds from block headers; keep block B of term t in
+    # segment s iff ub(B) + Σ_{t'≠t} max_ub(t', s) >= θ.
+    seg_ub = blocks.groupBy("segment_id", "term").agg(F.max("_ub").alias("_tub"))
+    seg_tot = seg_ub.groupBy("segment_id").agg(F.sum("_tub").alias("_tot"))
+    bounds = (
+        seg_ub.join(seg_tot, "segment_id")
+        .select("segment_id", "term", (F.col("_tot") - F.col("_tub")).alias("_other"))
+    )
+    survivors = (
+        seeded.join(F.broadcast(bounds), ["segment_id", "term"])
+        .filter(F.col("_seed") | (F.col("_ub") + F.col("_other") >= F.lit(theta)))
+    )
+    return survivors.drop("_ub", "_seed", "_other")

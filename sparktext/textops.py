@@ -39,8 +39,15 @@ LANG_MARKERS = {
     "zh": ("de", "shi", "bu", "wo", "zai", "le"),
 }
 
+# Fixture-scale MinHash parameters (what the DuckDB oracle mirrors).
+# A production near-dup pipeline wants far more resolution — use
+# PRODUCTION_MINHASH_H/BANDS (128 perms / 16 bands of 8: the standard
+# ~0.8-Jaccard knee) by passing them explicitly; both paths are the same
+# code, parameterized.
 MINHASH_H = 6  # hash functions
 MINHASH_BANDS = 3  # bands of 2 -> candidate pairs need 2 matching sigs
+PRODUCTION_MINHASH_H = 128
+PRODUCTION_MINHASH_BANDS = 16
 SHINGLE_K = 3
 
 
@@ -206,18 +213,29 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", h: int = MINHASH
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", h: int = MINHASH_H, bands: int = MINHASH_BANDS
+    docs: DataFrame,
+    text_col: str = "text",
+    h: int = MINHASH_H,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b).
 
     Rows of each band (signature slice) are grouped; docs sharing any
     band bucket become a pair. The band join is an equi-join on the
-    bucket key — shuffle by key, no cross join anywhere.
+    bucket key — shuffle by key, no cross join anywhere; both join sides
+    share one plan, so AQE's exchange reuse computes the signature
+    pipeline once (no persist -> no per-call cache leak).
+
+    ``max_bucket`` (the 100-TB skew escape): a band bucket of n docs
+    yields n*(n-1)/2 pairs, so one mega-bucket of identical signatures —
+    a duplicate-heavy corpus — is quadratic. Buckets larger than
+    ``max_bucket`` are dropped (a documented recall trade: members of a
+    dropped bucket are overwhelmingly EXACT duplicates, which the scale
+    pipeline must remove with :func:`exact_dedup` BEFORE near-dup LSH —
+    run exact first, then LSH with a cap, e.g. 1000).
     """
-    # persist: the band self-join would otherwise recompute the signature
-    # pipeline once per join side (signatures are one short row per doc —
-    # cheap to cache even at scale).
-    sig = minhash_signatures(docs, text_col, h).persist()
+    sig = minhash_signatures(docs, text_col, h)
     rows_per_band = h // bands
     band_structs = []
     for b in range(bands):
@@ -226,6 +244,14 @@ def lsh_candidate_pairs(
     bands_df = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.key")
+    if max_bucket is not None:
+        small = (
+            bands_df.groupBy("band_id", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "key")
+        )
+        bands_df = bands_df.join(small, ["band_id", "key"], "semi")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (

@@ -157,10 +157,11 @@ def test_agg_search_fused(micro_index):
             "hist": ("histogram", "n_chars", 10.0, 0.0, []),
         },
     )
-    assert set(out) == {"hits", "metrics", "by_lang", "hist"}
+    assert set(out) == {"hits", "metrics", "by_lang", "hist", "release"}
     assert out["hits"].count() == 3
     assert out["metrics"].collect()[0]["count"] == len(HEAVY_DOCS)
     assert out["by_lang"].count() == 2
+    out["release"]()
 
 
 def test_post_filter(micro_index):

@@ -1,0 +1,81 @@
+"""Round-2 hardening: codec input validation, LSH mega-bucket cap,
+agg_search WAND guard, per-query cache hygiene."""
+
+import numpy as np
+import pytest
+
+
+def test_encode_blocks_rejects_unsorted_and_duplicate_ids():
+    from sparktext.codec import encode_blocks
+
+    norm = np.zeros(3, dtype=np.uint8)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        encode_blocks(np.array([1, 3, 2]), np.array([1, 1, 1]), norm)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        encode_blocks(np.array([1, 2, 2]), np.array([1, 1, 1]), norm)
+    # valid input still encodes
+    rows = encode_blocks(np.array([1, 2, 5]), np.array([1, 2, 1]), norm)
+    assert rows[0]["count"] == 3
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """1k identical docs = one mega band-bucket (499,500 pairs quadratic).
+    With the cap the bucket is dropped (exact-dedup's job) and the job
+    stays linear; distinct docs below the cap still pair up."""
+    from sparktext.textops import lsh_candidate_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(1000)]
+    rows += [(2000, "unique words here repeated words here"),
+             (2001, "unique words here repeated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs, max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(2000, 2001)}
+    # uncapped keeps the identical docs (sanity that the cap did the work)
+    some = lsh_candidate_pairs(
+        docs.filter("doc_id < 3 or doc_id >= 2000")
+    ).count()
+    assert some == 4  # C(3,2) identical + 1 distinct pair
+
+
+def test_agg_search_rejects_wand_with_aggs(micro_index):
+    from sparktext.aggs import CountAgg, agg_search
+
+    with pytest.raises(ValueError, match="hits-only"):
+        agg_search(micro_index, "heavy", k=3, exhaustive=False,
+                   metric_aggs=[CountAgg()])
+    with pytest.raises(ValueError, match="hits-only"):
+        agg_search(micro_index, "heavy", k=3, exhaustive=False,
+                   post_filter="lang = 'py'")
+    # hits-only WAND is fine
+    out = agg_search(micro_index, "heavy apple", k=3, exhaustive=False)
+    assert out["hits"].count() == 3
+    out["release"]()
+
+
+def test_no_cache_growth_over_query_loop(spark, micro_index):
+    """Storage must not grow across repeated queries: WAND path holds no
+    persist, agg_search releases its matched set."""
+    from sparktext.aggs import CountAgg, agg_search
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # warm once (index tables themselves are intentionally persisted)
+    out = agg_search(micro_index, "heavy", k=3, metric_aggs=[CountAgg()])
+    out["metrics"].collect()
+    out["hits"].collect()
+    out["release"]()
+    top_k(matched_docs(micro_index, parse_query("heavy apple"),
+                       exhaustive=False, k=3), 3).collect()
+    base = n_cached()
+    for _ in range(5):
+        out = agg_search(micro_index, "heavy", k=3, metric_aggs=[CountAgg()])
+        out["metrics"].collect()
+        out["hits"].collect()
+        out["release"]()
+        top_k(matched_docs(micro_index, parse_query("heavy apple"),
+                           exhaustive=False, k=3), 3).collect()
+    assert n_cached() <= base

@@ -80,3 +80,47 @@ def test_salted_skew_build_and_merge(spark, skew_corpus):
 
     assert docs_of(merged, "hot") == docs_of(index, "hot")
     assert docs_of(merged, "delta") == docs_of(index, "delta")
+
+
+def test_merge_after_delete(spark, micro_index):
+    """A10×A11: merge PURGES tombstones — build→delete→merge→query must
+    equal build→delete→query, and deleted docs must not resurrect."""
+    from sparktext.merge import merge_segments
+    from sparktext.query import matched_docs, parse_query
+
+    from tests.conftest import MICRO_DOCS
+
+    apple_docs = {r[0] for r in MICRO_DOCS if "apple" in r[5].split()}
+    victims = sorted(apple_docs)[:2]
+    deleted = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    tomb = micro_index.with_deletes(deleted)
+    merged = merge_segments(tomb, 1)
+
+    assert merged.deleted is None  # purged, not carried
+    for q in ["apple", "heavy banana", "+apple -cherry", "apple banana cherry"]:
+        assert _topk(merged, q) == _topk(tomb, q), q
+    # physically absent from the merged postings, not just filtered
+    import pandas as pd
+
+    from sparktext import codec
+
+    rows = merged.postings.filter(F.col("term") == "apple").collect()
+    flat = codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in rows]))
+    assert set(flat["doc_id"]).isdisjoint(victims)
+    # doc_meta purged too
+    assert merged.doc_meta.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_merge_carries_positions(spark, micro_corpus):
+    """A10×B6: phrase queries keep working on a merged positions index."""
+    from sparktext.build import build_index
+    from sparktext.merge import merge_segments
+    from sparktext.query import phrase_docs
+
+    idx = build_index(spark, micro_corpus, num_segments=3, with_positions=True)
+    merged = merge_segments(idx, 1)
+    before = sorted((r["doc_id"], round(r["score"], 9))
+                    for r in phrase_docs(idx, ["apple", "banana"]).collect())
+    after = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(merged, ["apple", "banana"]).collect())
+    assert before == after and before

@@ -116,3 +116,23 @@ def test_deletes(spark, micro_index):
     # original index untouched
     rows0 = {r["doc_id"] for r in matched_docs(micro_index, parse_query("apple")).collect()}
     assert rows0 == apple_docs
+
+
+def test_regex(micro_index):
+    from sparktext.query import regex_docs
+
+    # terms matching ^(gr|d).*e$ -> grape, date
+    rows = {r["doc_id"] for r in regex_docs(micro_index, "^(gr|d).*e$").collect()}
+    exp = {d for d, t in DOCS.items() if {"grape", "date"} & set(t.split())}
+    assert rows == exp
+    assert regex_docs(micro_index, "^zz.*").count() == 0
+
+
+def test_expansion_no_driver_collect(micro_index):
+    """B7 expansions must not materialize the vocabulary driver-side:
+    the plan should contain a broadcast join against the term dict, and
+    no isin literal list."""
+    from sparktext.query import prefix_docs
+
+    plan = prefix_docs(micro_index, "gra")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
