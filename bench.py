@@ -100,6 +100,35 @@ def main() -> None:
     wand_total = postings_for_terms(index, wq, sm).count()
     wand_kept = wand_candidate_blocks(index, wq, 10, sm).count()
 
+    # Regex query (B7 dictionary expansion via broadcast join).
+    from sparktext.query import regex_docs
+
+    run("q_regex", lambda: regex_docs(index, "^s.*n$").count())
+
+    # WAND on a skewed-impact (Zipf-tf) corpus — the layout where
+    # block-max pruning actually wins. The uniform fixture corpus above
+    # has no dominating blocks, so q_wand there measures overhead only.
+    from sparktext.corpus import skewed_impact_corpus
+
+    zn = int(os.environ.get("SPARK_GRAFT_ZIPF_N", "500000"))
+    zidx = build_index(
+        spark, skewed_impact_corpus(spark, zn), num_segments=int(cpus)
+    )
+    zidx.postings.count()
+    zq = ["alpha", "beta", "gamma"]
+    zsm = term_stats(zidx, zq)
+    zipf_total = postings_for_terms(zidx, zq, zsm).count()
+    zipf_kept = wand_candidate_blocks(zidx, zq, 10, zsm).count()
+
+    def zsearch(exhaustive):
+        return top_k(
+            matched_docs(zidx, parse_query("alpha beta gamma"),
+                         exhaustive=exhaustive, k=10), 10
+        ).collect()
+
+    run("q_or_zipf", lambda: zsearch(True))
+    run("q_wand_zipf", lambda: zsearch(False))
+
     import json as _json
 
     qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
@@ -137,6 +166,9 @@ def main() -> None:
         "batch_queries_per_sec": round(len(fixture_queries) / timings["q_batch20"], 2),
         "wand_blocks_total": wand_total,
         "wand_blocks_kept": wand_kept,
+        "zipf_n_docs": zn,
+        "zipf_blocks_total": zipf_total,
+        "zipf_blocks_kept": zipf_kept,
     }))
 
 

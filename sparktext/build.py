@@ -41,6 +41,7 @@ on re-run (see :func:`build_index` ``resume``).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -92,6 +93,21 @@ class Index:
     n_buckets: int = DEFAULT_N_BUCKETS
     positions: DataFrame | None = None  # segment_id, term, doc_id, positions
     deleted: DataFrame | None = None  # doc_id
+    _headers: DataFrame | None = None  # lazy block-header mini-cache
+
+    def block_headers(self) -> DataFrame:
+        """Block headers WITHOUT the binary payload columns, persisted on
+        first use (128x fewer rows than postings and ~10x narrower).
+        WAND's seed-selection and bound subtrees scan headers repeatedly;
+        reading them through the full postings cache would re-filter every
+        payload batch once per subtree — linear in index size per query.
+        One bounded cache per index, like term_dict."""
+        if self._headers is None:
+            self._headers = self.postings.select(
+                "segment_id", "term", "term_bucket", "block_id", "count",
+                "first_doc", "last_doc", "max_tf", "min_norm_id",
+            ).persist()
+        return self._headers
 
     def with_deletes(self, doc_ids_df: DataFrame) -> "Index":
         """A11: mark docs deleted (tombstones; postings untouched)."""
@@ -269,31 +285,44 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
             mp["n_chars"] = None
         meta_parts.append(mp)
 
-    out_blocks: list[pd.DataFrame] = []
+    # Blocks and meta are emitted as SEPARATE Arrow frames (same schema):
+    # concatenating them forced pandas through object-NA reconciliation on
+    # every carry column — measurable churn at 32 concurrent workers.
     if acc:
         allp = pd.concat(acc, ignore_index=True)
         allp.sort_values(["segment_id", "term", "doc_id"], inplace=True, kind="stable")
-        for (seg, term), g in allp.groupby(["segment_id", "term"], sort=False):
-            rows = codec.encode_blocks(
-                g["doc_id"].to_numpy(), g["tf"].to_numpy(),
-                g["norm_id"].to_numpy().astype(np.uint8),
-            )
-            b = pd.DataFrame(rows)
-            b.insert(0, "segment_id", np.int32(seg))
-            b.insert(1, "term", term)
-            out_blocks.append(b)
-    frames = []
-    if out_blocks:
-        blocks = pd.concat(out_blocks, ignore_index=True)
+        # The frame is sorted, so (segment, term) groups are contiguous
+        # runs: find boundaries with one vectorized compare and slice
+        # numpy arrays directly — pandas groupby's factorize/take pass
+        # over the full posting set costs ~30% of the worker here.
+        seg_a = allp["segment_id"].to_numpy()
+        term_a = allp["term"].to_numpy()
+        did_a = allp["doc_id"].to_numpy()
+        tf_a = allp["tf"].to_numpy()
+        nid_a = allp["norm_id"].to_numpy().astype(np.uint8)
+        change = np.empty(len(term_a), dtype=bool)
+        change[0] = True
+        change[1:] = (term_a[1:] != term_a[:-1]) | (seg_a[1:] != seg_a[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(term_a))
+        records: list[dict] = []
+        for s, e in zip(starts, ends):
+            rows = codec.encode_blocks(did_a[s:e], tf_a[s:e], nid_a[s:e])
+            seg, term = int(seg_a[s]), term_a[s]
+            for r in rows:
+                r["segment_id"] = seg
+                r["term"] = term
+            records.extend(rows)
+        blocks = pd.DataFrame.from_records(records)
+        blocks["segment_id"] = blocks["segment_id"].astype(np.int32)
         blocks.insert(0, "kind", np.int8(0))
-        for c in ("doc_id",):
-            blocks[c] = np.int64(0)
+        blocks["doc_id"] = np.int64(0)
         blocks["doc_len"] = np.int32(0)
         blocks["norm_id"] = np.int32(0)
         for c in _META_CARRY:
             blocks[c] = None
         blocks["n_chars"] = None
-        frames.append(blocks)
+        yield blocks[_FUSED_COLS]
     if meta_parts:
         meta = pd.concat(meta_parts, ignore_index=True)
         mf = pd.DataFrame(
@@ -320,9 +349,7 @@ def _build_segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         for c in _META_CARRY:
             mf[c] = meta[c].to_numpy()
         mf["n_chars"] = meta["n_chars"].to_numpy()
-        frames.append(mf)
-    if frames:
-        yield pd.concat(frames, ignore_index=True)[_FUSED_COLS]
+        yield mf[_FUSED_COLS]
 
 
 #: Salt chunk (§4.7): posting rows are grouped by (segment, term,
@@ -400,12 +427,17 @@ def build_index(
     resume: bool = False,
     num_groups: int = 1,
     with_positions: bool = False,
+    phase_walls: dict | None = None,
 ) -> Index:
     """Build the full index from a canonical corpus DataFrame.
 
     In-memory mode (``index_dir=None``): returns an :class:`Index` whose
     DataFrames are persisted (MEMORY_AND_DISK). Persisted mode: writes the
     A12 layout with manifest/metrics and supports ``resume``.
+
+    ``phase_walls``: optional dict the build fills with per-phase
+    wall-clock seconds (driver-side twin of the _metrics lineage table;
+    used by tools/scaling_bench.py to attribute scaling loss per phase).
     """
     if index_dir is not None:
         from sparktext.manifest import build_persistent_index
@@ -417,8 +449,11 @@ def build_index(
 
     if num_segments is None:
         num_segments = max(4, spark.sparkContext.defaultParallelism)
+    pw = phase_walls if phase_walls is not None else {}
+    t0 = time.time()
     corpus = assign_doc_ids(corpus, num_segments)
     n_docs = corpus.count()
+    pw["assign_count"] = round(time.time() - t0, 3)
     seg_size = max(1, math.ceil(n_docs / num_segments))
     # Repartition BEFORE the sha projection: otherwise the per-row sha256
     # (and any upstream narrow prep like a replicate cross-join)
@@ -458,6 +493,11 @@ def build_index(
             .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
             .persist()
         )
+        # ONE cache holds the build output: postings/doc_meta are filter
+        # views over it. Cache writes are the one build phase that does
+        # NOT scale with cores (MemoryStore contention measured 2x slower
+        # at local[32] than local[8] on identical data), so the build
+        # persists each output row exactly once and nothing twice.
         postings = (
             fused.filter(F.col("kind") == 0)
             .select("segment_id", "term", "block_id", "count", "first_doc",
@@ -494,9 +534,14 @@ def build_index(
                 *(["n_chars"] if "n_chars" in corpus.columns else []),
             )
         )
-    doc_meta = doc_meta.persist()
+    if with_positions:
+        doc_meta = doc_meta.persist()
 
+    # First action on the fused pipeline: materializes shuffle + tokenize
+    # + encode + persist, then the tiny stats aggregate reads the cache.
+    t0 = time.time()
     total_tokens = meta_rows.agg(F.sum("doc_len")).collect()[0][0] or 0
+    pw["tokenize_encode"] = round(time.time() - t0, 3)
     stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))
     return Index(doc_meta=doc_meta, postings=postings, term_dict=term_dict,
                  stats=stats, n_buckets=n_buckets, positions=positions)

@@ -32,24 +32,35 @@ BLOCK_SCHEMA = (
 # ---------------------------------------------------------------- varint ---
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint encode a uint64 array (vectorized, <=10 byte passes)."""
-    vals = np.asarray(values, dtype=np.uint64)
+def _varint_encode_offsets(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varint encode a uint64 array; also return per-value byte
+    offsets (len n+1) so callers can slice the stream into sub-ranges —
+    this lets a whole posting list be encoded ONCE and split into 128-doc
+    blocks by pure byte slicing (one numpy pass instead of one per block).
+    """
     if vals.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     nbytes = np.ones(vals.size, dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():
         nbytes += (v > 0).astype(np.int64)
         v = v >> np.uint64(7)
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    offsets = np.zeros(vals.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
     for b in range(int(nbytes.max())):
         mask = nbytes > b
         byte = ((vals[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
         cont = ((nbytes[mask] > b + 1).astype(np.uint8)) << 7
         out[starts[mask] + b] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encode a uint64 array (vectorized, <=10 byte passes)."""
+    data, _ = _varint_encode_offsets(np.asarray(values, dtype=np.uint64))
+    return data
 
 
 def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
@@ -119,26 +130,32 @@ def encode_blocks(
             f"violation near index {bad}: {doc_ids[bad]} -> {doc_ids[bad + 1]} "
             "(duplicate doc_id in the corpus?)"
         )
+    # One varint pass over the WHOLE list, sliced per block by byte
+    # offsets; gaps likewise from one global diff. Per-block numpy-call
+    # overhead was the encode hot spot on high-df terms (thousands of
+    # 128-doc blocks per posting list).
+    n = doc_ids.size
+    tf_stream, tf_off = _varint_encode_offsets((tfs - 1).astype(np.uint64))
+    norm_stream = norm_ids.tobytes()
+    all_gaps = (np.diff(doc_ids) - 1).astype(np.uint64) if n > 1 else np.empty(0, np.uint64)
     rows = []
-    for b, i in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
-        d = doc_ids[i : i + BLOCK_SIZE]
-        t = tfs[i : i + BLOCK_SIZE]
-        nm = norm_ids[i : i + BLOCK_SIZE]
-        gaps = (np.diff(d) - 1).astype(np.uint64)  # strictly increasing -> >=0
-        doc_bits, doc_bytes = for_pack(gaps)
+    for b, i in enumerate(range(0, n, BLOCK_SIZE)):
+        j = min(i + BLOCK_SIZE, n)
+        t = tfs[i:j]
+        doc_bits, doc_bytes = for_pack(all_gaps[i : j - 1])
         rows.append(
             {
                 "block_id": b,
-                "count": int(d.size),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
+                "count": int(j - i),
+                "first_doc": int(doc_ids[i]),
+                "last_doc": int(doc_ids[j - 1]),
                 "max_tf": int(t.max()),
                 "sum_tf": int(t.sum()),
-                "min_norm_id": int(nm.min()),
+                "min_norm_id": int(norm_ids[i:j].min()),
                 "doc_bits": doc_bits,
                 "doc_bytes": doc_bytes,
-                "tf_bytes": varint_encode((t - 1).astype(np.uint64)),
-                "norm_bytes": nm.tobytes(),
+                "tf_bytes": tf_stream[tf_off[i] : tf_off[j]],
+                "norm_bytes": norm_stream[i:j],
             }
         )
     return rows

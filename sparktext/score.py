@@ -110,57 +110,91 @@ def block_ub_col(index, stats_map) -> Column:
 
 
 def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:
-    """Phase-1+2 block pruning; returns the surviving block rows.
+    """Phase-1+2 block pruning; returns the surviving block rows, LAZILY.
 
-    Survivors always include the seed blocks, so the downstream decode is
-    a superset of what θ was derived from.
+    Fully declarative: θ is a 1-row DataFrame (k-th best exact partial
+    sum over the per-term seed blocks) cross-broadcast-joined into the
+    survivor filter as a scalar — no collect, no persist, no extra driver
+    job. The entire WAND query (seed scoring -> θ -> bound filter ->
+    survivor decode -> BM25 -> top-k) executes as ONE Spark job, the same
+    count as the exhaustive path; the seed/bounds subtrees are
+    header-level (128x smaller than postings) and broadcast-sized.
     """
     from sparktext.query import postings_for_terms  # local import: cycle
 
     if stats_map is None:
         stats_map = term_stats(index, terms)
-    blocks = postings_for_terms(index, terms, stats_map)
-    blocks = blocks.withColumn("_ub", block_ub_col(index, stats_map))
+    present = [t for t in terms if t in stats_map]
+    buckets = sorted({stats_map[t]["term_bucket"] for t in present})
+
+    # All header-level math (seed selection, per-segment bounds) runs on
+    # the block-header mini-cache — NOT through the payload-bearing
+    # postings cache, which these subtrees would otherwise re-scan once
+    # each per query. Only two payload scans remain: the seed fetch and
+    # the survivor decode.
+    hdr = index.block_headers().filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+    ).withColumn("_ub", block_ub_col(index, stats_map))
 
     seeds_per_term = max(1, math.ceil(k / 128)) + 1
     w = Window.partitionBy("term").orderBy(
         F.desc("_ub"), F.asc("segment_id"), F.asc("block_id")
     )
-    seeded = blocks.withColumn("_seed", F.row_number().over(w) <= seeds_per_term)
+    seed_keys = (
+        hdr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= seeds_per_term)
+        .select("segment_id", "term", "block_id")
+    )
 
-    # Phase 1 — the ONLY driver action: exact partial scores over the seed
-    # blocks -> θ = k-th best partial sum (a valid lower bound on the
-    # final k-th best total). No persist: the header-level window is
-    # recomputed once more in the survivors plan — block headers are 128x
-    # smaller than postings, and not caching avoids the unbounded
-    # one-cached-DataFrame-per-query leak of the previous shape.
+    # Phase 1: exact partial sums over the seed blocks -> θ as a 1-row
+    # DataFrame. θ = k-th best seed total when >= k seed docs exist, else
+    # 0 (prune nothing). A valid lower bound on the final k-th best.
     from sparktext import codec
 
-    seed_rows = (
-        seeded.filter("_seed")
-        .select("segment_id", "term", "count", "first_doc",
-                "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
+    blocks = postings_for_terms(index, present, stats_map)
+    seed_blocks = blocks.join(
+        F.broadcast(seed_keys), ["segment_id", "term", "block_id"]
+    )
+    theta_df = (
+        seed_blocks.select("segment_id", "term", "count", "first_doc",
+                           "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
         .mapInPandas(
             lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
             schema="segment_id int, term string, doc_id long, tf long, norm_id long",
         )
         .withColumn("partial", bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")))
         .groupBy("doc_id").agg(F.sum("partial").alias("s"))
-        .orderBy(F.desc("s")).limit(k).collect()
+        .orderBy(F.desc("s")).limit(k)
+        .agg(
+            F.when(F.count("*") >= k, F.min("s")).otherwise(F.lit(0.0)).alias("_theta")
+        )
     )
-    theta = float(seed_rows[-1]["s"]) if len(seed_rows) >= k else 0.0
 
-    # Phase 2 (lazy, fused into the downstream query job): per-(segment,
-    # term) max bounds from block headers; keep block B of term t in
-    # segment s iff ub(B) + Σ_{t'≠t} max_ub(t', s) >= θ.
-    seg_ub = blocks.groupBy("segment_id", "term").agg(F.max("_ub").alias("_tub"))
-    seg_tot = seg_ub.groupBy("segment_id").agg(F.sum("_tub").alias("_tot"))
-    bounds = (
-        seg_ub.join(seg_tot, "segment_id")
-        .select("segment_id", "term", (F.col("_tot") - F.col("_tub")).alias("_other"))
-    )
+    # Phase 2: per-(segment, term) max bounds from block headers; keep
+    # block B of term t in segment s iff ub(B) + Σ_{t'≠t} max_ub(t', s)
+    # >= θ. The bound test alone is safe for EVERY block (any pruned
+    # block's docs have true score < θ, and every true top-k doc's blocks
+    # pass), so no seed carve-out is needed. The per-term maxes are
+    # pivoted into ONE groupBy(segment) (query terms are few), so the
+    # bound table costs a single small exchange.
+    uniq = sorted(stats_map)
+    seg_bounds = hdr.groupBy("segment_id").agg(*[
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("_ub"))), F.lit(0.0)
+        ).alias(f"_ub{i}")
+        for i, t in enumerate(uniq)
+    ])
+    tot = sum(F.col(f"_ub{i}") for i in range(len(uniq)))
+    my_ub = None
+    for i, t in enumerate(uniq):
+        cond = F.col("term") == t
+        my_ub = F.when(cond, F.col(f"_ub{i}")) if my_ub is None else my_ub.when(cond, F.col(f"_ub{i}"))
     survivors = (
-        seeded.join(F.broadcast(bounds), ["segment_id", "term"])
-        .filter(F.col("_seed") | (F.col("_ub") + F.col("_other") >= F.lit(theta)))
+        blocks.withColumn("_ub", block_ub_col(index, stats_map))
+        .join(F.broadcast(seg_bounds), "segment_id")
+        .join(F.broadcast(theta_df))
+        .filter(F.col("_ub") + (tot - my_ub) >= F.col("_theta"))
     )
-    return survivors.drop("_ub", "_seed", "_other")
+    return survivors.drop(
+        "_ub", "_theta", *[f"_ub{i}" for i in range(len(uniq))]
+    )

@@ -103,9 +103,15 @@ def run_single(parallelism: int, reps: int) -> None:
     ).count()
 
     t0 = time.time()
-    index = build_index(spark, corpus, num_segments=parallelism * 2)
+    phases: dict = {}
+    index = build_index(spark, corpus, num_segments=parallelism * 2,
+                        phase_walls=phases)
+    tp = time.time()
     index.postings.count()
+    phases["postings_cache"] = round(time.time() - tp, 3)
+    tp = time.time()
     index.doc_meta.count()
+    phases["doc_meta_cache"] = round(time.time() - tp, 3)
     build_s = time.time() - t0
     n_docs = index.stats.num_docs
 
@@ -129,6 +135,7 @@ def run_single(parallelism: int, reps: int) -> None:
         "batch_sec": round(best, 3),
         "n_queries": len(queries),
         "batch_queries_per_sec": round(len(queries) / best, 2),
+        "build_phases": phases,
     }))
 
 
