@@ -445,6 +445,7 @@ def build_index(
         return build_persistent_index(
             spark, corpus, index_dir, num_segments=num_segments,
             n_buckets=n_buckets, resume=resume, num_groups=num_groups,
+            with_positions=with_positions,
         )
 
     if num_segments is None:

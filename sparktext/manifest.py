@@ -22,6 +22,22 @@ term dictionary from all block headers. ``input_fingerprint`` is the
 xor-free sum of xxhash64(sha) over the group's docs — lineage evidence
 that a resumed build saw the same input rows (the per-row sha256 itself
 lives in doc_meta, satisfying the content-sha invariant).
+
+Crash-safety contract:
+
+- group data is written with DYNAMIC partition overwrite keyed on
+  ``group_id``: a crash between a group's data write and its manifest
+  append leaves orphan files that the resumed run simply overwrites —
+  no duplicate rows can survive a resume;
+- a fresh build REFUSES a non-empty ``index_dir`` (re-running with
+  ``resume=False`` used to double-append everything silently);
+- the manifest records ``num_segments``/``num_groups``; a resume ADOPTS
+  the recorded values (callers resuming at different parallelism used
+  to silently skip or duplicate docs).
+
+``with_positions=True`` persists a ``positions/`` table (term_bucket-
+partitioned like postings) and ``load_index`` restores it, so phrase
+queries work on checkpointed/resumed indexes too.
 """
 
 from __future__ import annotations
@@ -62,6 +78,20 @@ def _append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> 
     w.parquet(path)
 
 
+def _overwrite_group(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Idempotent group write: dynamic partition overwrite replaces
+    exactly the partitions present in ``df`` (its group_id), so a resumed
+    group REPLACES any partial files a crashed run left behind."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+
 def build_persistent_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -70,11 +100,35 @@ def build_persistent_index(
     n_buckets: int = DEFAULT_N_BUCKETS,
     resume: bool = False,
     num_groups: int = 4,
+    with_positions: bool = False,
 ) -> Index:
     """Checkpointed build: per-group postings/doc_meta writes + manifest."""
     if num_segments is None:
         num_segments = max(4, spark.sparkContext.defaultParallelism)
     build_id = uuid.uuid4().hex[:12]
+
+    prior = _read_manifest(spark, index_dir)
+    if not resume and (
+        prior is not None or os.path.exists(os.path.join(index_dir, "postings"))
+    ):
+        raise ValueError(
+            f"index_dir {index_dir!r} already holds an index; pass "
+            "resume=True to continue an interrupted build, or point at an "
+            "empty directory (re-running a fresh build here would "
+            "double-write every row)"
+        )
+    if resume and prior is not None:
+        # Adopt the recorded build geometry: resuming at a different
+        # parallelism would re-derive different segment/group boundaries
+        # and silently skip or duplicate docs.
+        row0 = (
+            prior.select("num_segments", "num_groups", "with_positions")
+            .orderBy(F.desc("num_segments"))
+            .limit(1)
+            .collect()[0]
+        )
+        num_segments, num_groups = int(row0["num_segments"]), int(row0["num_groups"])
+        with_positions = bool(row0["with_positions"])
 
     corpus = assign_doc_ids(corpus, num_segments)
     n_docs = corpus.count()
@@ -111,31 +165,65 @@ def build_persistent_index(
         lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
     )
 
+    positions_path = os.path.join(index_dir, "positions")
+
     for g in todo:
         t0 = time.time()
         sub = corpus.filter(F.col("group_id") == g)
-        from sparktext.build import _build_segment_partition, _FUSED_SCHEMA
-        from sparktext.build import term_bucket_col
-
-        fused = (
-            sub.select("doc_id", "segment_id", "content")
-            .repartition(segs_per_group, "segment_id")
-            .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
-            .persist()
+        from sparktext.build import (
+            _build_segment_partition,
+            _FUSED_SCHEMA,
+            _TOKENS_SCHEMA_POS,
+            encode_posting_blocks,
+            term_bucket_col,
         )
-        meta_rows = fused.filter(F.col("kind") == 1).select("doc_id", "doc_len")
 
-        # sortWithinPartitions(term): tight parquet row-group min/max on
-        # the term column -> row-group skipping under the pushed term
-        # filter at query time (§4.1), on top of term_bucket file pruning.
-        blocks = (
-            fused.filter(F.col("kind") == 0)
-            .drop("kind", "doc_id", "doc_len")
-            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-            .withColumn("group_id", F.lit(g))
-            .sortWithinPartitions("term", "segment_id", "block_id")
-        )
-        _append(blocks, postings_path, ["group_id", "term_bucket"])
+        if with_positions:
+            tokens = (
+                sub.select("doc_id", "segment_id", "content")
+                .repartition(segs_per_group, "segment_id")
+                .mapInPandas(
+                    lambda it: _tokenize_partition(it, with_positions=True),
+                    schema=_TOKENS_SCHEMA_POS,
+                )
+                .persist()
+            )
+            posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
+            meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+            pos = (
+                posting_rows.select("segment_id", "term", "doc_id", "positions")
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+                .withColumn("group_id", F.lit(g))
+            )
+            _overwrite_group(pos, positions_path, ["group_id", "term_bucket"])
+            blocks = (
+                encode_posting_blocks(posting_rows.drop("positions"), n_buckets)
+                .withColumn("group_id", F.lit(g))
+                .sortWithinPartitions("term", "segment_id", "block_id")
+            )
+            cache = tokens
+        else:
+            fused = (
+                sub.select("doc_id", "segment_id", "content")
+                .repartition(segs_per_group, "segment_id")
+                .mapInPandas(_build_segment_partition, schema=_FUSED_SCHEMA)
+                .persist()
+            )
+            meta_rows = fused.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+
+            # sortWithinPartitions(term): tight parquet row-group min/max
+            # on the term column -> row-group skipping under the pushed
+            # term filter at query time (§4.1), on top of term_bucket
+            # file pruning.
+            blocks = (
+                fused.filter(F.col("kind") == 0)
+                .drop("kind", "doc_id", "doc_len")
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+                .withColumn("group_id", F.lit(g))
+                .sortWithinPartitions("term", "segment_id", "block_id")
+            )
+            cache = fused
+        _overwrite_group(blocks, postings_path, ["group_id", "term_bucket"])
 
         dm = (
             sub.join(meta_rows, "doc_id")
@@ -146,7 +234,7 @@ def build_persistent_index(
                 *(["n_chars"] if "n_chars" in sub.columns else []),
             )
         )
-        _append(dm, doc_meta_path, ["group_id"])
+        _overwrite_group(dm, doc_meta_path, ["group_id"])
 
         # Order-insensitive input fingerprint: sum of per-row hashes in
         # unbounded decimal (ANSI-safe), folded back into a long.
@@ -158,9 +246,11 @@ def build_persistent_index(
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
         man_row = spark.createDataFrame(
-            [(int(g), int(agg["n"]), int(agg["fp"] or 0), wall_ms, build_id, "complete")],
+            [(int(g), int(agg["n"]), int(agg["fp"] or 0), wall_ms, build_id,
+              "complete", int(num_segments), int(num_groups), bool(with_positions))],
             "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
-            "build_id string, status string",
+            "build_id string, status string, num_segments int, num_groups int, "
+            "with_positions boolean",
         )
         _append(man_row, manifest_path)
         met = spark.createDataFrame(
@@ -170,7 +260,7 @@ def build_persistent_index(
             "stage string, group_id int, rows long, wall_ms long, build_id string",
         )
         _append(met, metrics_path)
-        fused.unpersist()
+        cache.unpersist()
 
     # Finalize: term dictionary + stats from what's on disk (covers both
     # fresh and resumed builds uniformly).
@@ -227,6 +317,12 @@ def append_documents(
         st = json.load(f)
     n_buckets = st["n_buckets"]
     build_id = uuid.uuid4().hex[:12]
+    if os.path.exists(os.path.join(index_dir, "positions")):
+        raise NotImplementedError(
+            "append_documents does not yet extend a positions index — "
+            "appending without positions would silently break phrase "
+            "queries over the new docs; rebuild with build_persistent_index"
+        )
     doc_meta0 = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     agg0 = doc_meta0.agg(
         F.max("doc_id").alias("maxd"), F.max("segment_id").alias("maxs"),
@@ -287,9 +383,11 @@ def append_documents(
         .cast("long").alias("fp")
     ).collect()[0]["fp"]
     man_row = spark.createDataFrame(
-        [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id, "complete")],
+        [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id,
+          "complete", int(st["num_segments"] + num_segments), int(g + 1), False)],
         "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
-        "build_id string, status string",
+        "build_id string, status string, num_segments int, num_groups int, "
+        "with_positions boolean",
     )
     _append(man_row, os.path.join(index_dir, "_manifest"))
 
@@ -302,10 +400,15 @@ def append_documents(
 def load_index(spark: SparkSession, index_dir: str) -> Index:
     with open(os.path.join(index_dir, "stats.json")) as f:
         st = json.load(f)
+    pos_path = os.path.join(index_dir, "positions")
+    positions = (
+        spark.read.parquet(pos_path) if os.path.exists(pos_path) else None
+    )
     return Index(
         doc_meta=spark.read.parquet(os.path.join(index_dir, "doc_meta")),
         postings=spark.read.parquet(os.path.join(index_dir, "postings")),
         term_dict=spark.read.parquet(os.path.join(index_dir, "term_dict")),
         stats=IndexStats(num_docs=st["num_docs"], total_tokens=st["total_tokens"]),
         n_buckets=st["n_buckets"],
+        positions=positions,
     )

@@ -141,19 +141,23 @@ class TokenizerPipeline:
             try:
                 import snowballstemmer
 
-                self._stemmer = snowballstemmer.stemmer(self.stem)
+                self._stemmer = snowballstemmer.stemmer(self.stem).stemWord
             except ImportError:
-                # gate gracefully: fall back to a light English suffix
-                # stripper so the pipeline slot still functions offline
-                self._stemmer = None
+                if self.stem != "english":
+                    raise ValueError(
+                        f"stem={self.stem!r} needs the snowballstemmer "
+                        "package; only 'english' has a built-in "
+                        "implementation (sparktext.porter2)"
+                    )
+                # Built-in Porter2 (the Snowball English algorithm,
+                # implemented from the published spec) — deterministic
+                # output with zero environment dependence.
+                from sparktext.porter2 import stem as _p2
+
+                self._stemmer = _p2
 
     def _stem_token(self, t: str) -> str:
-        if self._stemmer is not None:
-            return self._stemmer.stemWord(t)
-        for suf in ("ies", "sses", "ing", "ed", "s"):
-            if t.endswith(suf) and len(t) > len(suf) + 2:
-                return t[: -len(suf)] + ("y" if suf == "ies" else "")
-        return t
+        return self._stemmer(t) if self._stemmer is not None else t
 
     def tokenize(self, texts: pd.Series) -> pd.Series:
         toks = texts.fillna("")

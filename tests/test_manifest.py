@@ -79,3 +79,78 @@ def test_append_then_merge(spark, micro_corpus, micro_index, tmpdir):
     idx = append_documents(spark, tmpdir, second, num_segments=2)
     merged = merge_segments(idx, 1)
     assert _topk(merged, "heavy") == _topk(micro_index, "heavy")
+
+
+def test_fresh_build_refuses_nonempty_dir(spark, micro_corpus, tmpdir):
+    from sparktext.build import build_index
+
+    build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2)
+    with pytest.raises(ValueError, match="resume=True"):
+        build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2)
+
+
+def test_resume_adopts_geometry(spark, micro_corpus, micro_index, tmpdir):
+    """Resuming at a different parallelism must NOT re-derive different
+    segment/group boundaries — the manifest's geometry wins."""
+    from sparktext.build import build_index
+
+    build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2)
+    idx = build_index(
+        spark, micro_corpus, num_segments=7, index_dir=tmpdir, num_groups=5, resume=True
+    )
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+    assert spark.read.parquet(f"{tmpdir}/_manifest").count() == 2  # no extra groups
+
+
+def test_resume_after_crash_between_data_and_manifest(spark, micro_corpus, micro_index, tmpdir):
+    """Simulated crash: group data written, manifest row NOT — the resumed
+    run must overwrite (not duplicate) the orphan group files."""
+    import os
+
+    from sparktext.build import build_index
+
+    done = tmpdir + "/done"
+    crashed = tmpdir + "/crashed"
+    build_index(spark, micro_corpus, num_segments=3, index_dir=done, num_groups=2)
+    # reproduce the on-disk state after a crash: group 0's postings and
+    # doc_meta exist, no manifest, no term_dict/stats
+    for sub in ("postings", "doc_meta"):
+        src = os.path.join(done, sub)
+        dst = os.path.join(crashed, sub)
+        for part in os.listdir(src):
+            if part.startswith("group_id=0"):
+                shutil.copytree(os.path.join(src, part), os.path.join(dst, part))
+    idx = build_index(
+        spark, micro_corpus, num_segments=3, index_dir=crashed, num_groups=2, resume=True
+    )
+    assert idx.stats.num_docs == micro_index.stats.num_docs  # no duplicates
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+    assert spark.read.parquet(f"{crashed}/doc_meta").count() == 12
+
+
+def test_positions_through_persistent_path(spark, micro_corpus, tmpdir):
+    """B6×A12: phrase queries on an index built via checkpoint + loaded
+    from disk must match the in-memory positions build."""
+    from sparktext.build import build_index
+    from sparktext.manifest import load_index
+    from sparktext.query import phrase_docs
+
+    mem = build_index(spark, micro_corpus, num_segments=3, with_positions=True)
+    build_index(
+        spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2,
+        with_positions=True,
+    )
+    disk = load_index(spark, tmpdir)
+    assert disk.positions is not None
+    for phrase in (["apple", "banana"], ["grape", "heavy", "grape"]):
+        a = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(mem, phrase).collect())
+        b = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(disk, phrase).collect())
+        assert a == b and a, phrase
+
+    # resume on the positions index is a no-op and keeps positions
+    idx3 = build_index(
+        spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2, resume=True
+    )
+    assert idx3.positions is not None
