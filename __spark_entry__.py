@@ -165,6 +165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf_dir)
         return regex_docs(idx, "^s.*n$").orderBy("doc_id")
 
+    def search_fuzzy(spark, sf_dir):
+        from sparktext.query import fuzzy_docs
+
+        idx = _index(spark, sf_dir)
+        return fuzzy_docs(idx, "spar", max_edits=1).orderBy("doc_id")
+
     def agg_count(spark, sf_dir):
         _, m = _matched(spark, sf_dir, "spark")
         return metrics_agg(m, [CountAgg()])
@@ -243,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_term_range": search_term_range,
         "search_prefix": search_prefix,
         "search_regex": search_regex,
+        "search_fuzzy": search_fuzzy,
         "agg_count": agg_count,
         "agg_stats": agg_stats,
         "agg_terms_lang": agg_terms_lang,
@@ -441,6 +448,10 @@ WHERE term LIKE 's%' ORDER BY doc_id""",
 WITH {_TOK}
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok
 WHERE regexp_matches(term, '^s.*n$') ORDER BY doc_id""",
+        "search_fuzzy": f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE levenshtein(term, 'spar') <= 1 ORDER BY doc_id""",
         "agg_terms_nested": f"""
 WITH {_TOK}, {_MATCHED_SPARK},
 b AS (SELECT lang, source AS repo, COUNT(*) AS count FROM matched GROUP BY lang, source),

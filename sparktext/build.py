@@ -129,12 +129,20 @@ def with_sha(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("sha", F.sha2(F.col("content"), 256))
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int) -> DataFrame:
+def assign_doc_ids(
+    corpus: DataFrame, num_partitions: int, keep_pid: bool = False
+) -> DataFrame:
     """Deterministic dense doc_id ordered by (repo, path, commit).
 
     Two-phase (scales to arbitrary row counts — no single-partition
     window): range-partition on the key, per-partition row_number, then add
     collected cumulative partition offsets via a broadcast join.
+
+    ``keep_pid=True`` keeps the ``_pid`` range-partition column: each
+    range partition holds a CONTIGUOUS doc-id range (ids are assigned in
+    partition order), so the caller can adopt ``_pid`` directly as
+    ``segment_id`` and skip a whole extra corpus shuffle — the window's
+    hash(_pid) exchange already co-located every segment's rows.
     """
     if "doc_id" in corpus.columns:
         return corpus
@@ -150,12 +158,13 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int) -> DataFrame:
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(w) - F.lit(1))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_rn") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        .drop("_rn", "_offset")
     )
+    return out if keep_pid else out.drop("_pid")
 
 
 def _tokenize_partition(
@@ -452,18 +461,26 @@ def build_index(
         num_segments = max(4, spark.sparkContext.defaultParallelism)
     pw = phase_walls if phase_walls is not None else {}
     t0 = time.time()
-    corpus = assign_doc_ids(corpus, num_segments)
+    assigned = "doc_id" not in corpus.columns
+    corpus = assign_doc_ids(corpus, num_segments, keep_pid=assigned)
     n_docs = corpus.count()
     pw["assign_count"] = round(time.time() - t0, 3)
     seg_size = max(1, math.ceil(n_docs / num_segments))
-    # Repartition BEFORE the sha projection: otherwise the per-row sha256
-    # (and any upstream narrow prep like a replicate cross-join)
-    # materializes on the INPUT partitioning — one small source file
-    # would serialize the whole prep on a single task.
-    corpus = with_sha(
-        corpus.withColumn("segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
-        .repartition(num_segments, "segment_id")
-    )
+    if assigned:
+        # The doc-id assignment's window already co-located each range
+        # partition (= a contiguous doc range) — adopt it as the segment
+        # and SKIP the second full-corpus shuffle entirely.
+        corpus = with_sha(corpus.withColumnRenamed("_pid", "segment_id"))
+    else:
+        # Repartition BEFORE the sha projection: otherwise the per-row
+        # sha256 (and any upstream narrow prep like a replicate
+        # cross-join) materializes on the INPUT partitioning — one small
+        # source file would serialize the whole prep on a single task.
+        corpus = with_sha(
+            corpus.withColumn(
+                "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+            ).repartition(num_segments, "segment_id")
+        )
 
     positions = None
     if with_positions:

@@ -177,7 +177,16 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def decode_blocks_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Decode a batch of block rows -> flat (segment_id, term, doc_id, tf,
-    norm_id) pandas frame. Used inside mapInPandas at query time."""
+    norm_id) pandas frame. Used inside mapInPandas at query time.
+
+    Vectorized ACROSS blocks: tf varints decode as one concatenated
+    stream (self-delimiting), norm bytes as one buffer, and doc ids come
+    from a single reset-cumsum over all gap deltas (the per-block reset
+    value is first_doc minus the running sum of previous blocks'
+    last_doc). Only the FOR bit-unpack stays per block (block-local bit
+    widths). The per-block python-dict loop this replaces dominated
+    query-time decode (~2x on 3M-posting batches).
+    """
     if len(pdf) == 0:
         return pd.DataFrame(
             {
@@ -188,19 +197,37 @@ def decode_blocks_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 "norm_id": pd.Series(dtype="int64"),
             }
         )
-    docs, tfs, norms = [], [], []
-    for row in pdf.to_dict("records"):
-        d, t, n = decode_block(row)
-        docs.append(d)
-        tfs.append(t)
-        norms.append(n)
-    counts = pdf["count"].to_numpy()
+    counts = pdf["count"].to_numpy().astype(np.int64)
+    total = int(counts.sum())
+    tfs = (varint_decode(b"".join(pdf["tf_bytes"]), total) + 1).astype(np.int64)
+    norms = np.frombuffer(b"".join(pdf["norm_bytes"]), dtype=np.uint8).astype(np.int64)
+
+    firsts = pdf["first_doc"].to_numpy().astype(np.int64)
+    doc_bits = pdf["doc_bits"].to_numpy()
+    doc_bytes = pdf["doc_bytes"].to_numpy()
+    starts = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    deltas = np.zeros(total, dtype=np.int64)
+    for i in range(len(pdf)):
+        c = int(counts[i])
+        if c > 1:
+            gaps = for_unpack(doc_bytes[i], int(doc_bits[i]), c - 1)
+            deltas[starts[i] + 1 : starts[i] + c] = gaps.astype(np.int64) + 1
+    # Running cumsum just before block b equals block b-1's last doc id
+    # (= first_{b-1} + its interior gap sum), so the reset delta at each
+    # block start is first_b - last_{b-1} (0 before the first block).
+    interior = np.add.reduceat(deltas, starts)  # deltas[starts] still 0
+    lasts = firsts + interior
+    deltas[starts] = firsts
+    deltas[starts[1:]] -= lasts[:-1]
+    doc_ids = np.cumsum(deltas)
+
     return pd.DataFrame(
         {
             "segment_id": np.repeat(pdf["segment_id"].to_numpy(), counts),
             "term": np.repeat(pdf["term"].to_numpy(), counts),
-            "doc_id": np.concatenate(docs),
-            "tf": np.concatenate(tfs),
-            "norm_id": np.concatenate(norms),
+            "doc_id": doc_ids,
+            "tf": tfs,
+            "norm_id": norms,
         }
     )

@@ -87,12 +87,30 @@ def postings_for_terms(index, terms: list[str], stats_map: dict | None = None) -
     )
 
 
-def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = None) -> DataFrame:
+#: Cost-based WAND gate: below this many candidate postings (sum of the
+#: query terms' doc_freq), block pruning cannot repay its fixed two-phase
+#: plan cost (theta-seed + bound subtrees, ~a few extra exchanges), so
+#: ``exhaustive=False`` falls back to the single-scan exhaustive plan —
+#: results are identical either way; this only picks the cheaper plan.
+#: Lucene/tantivy make the same strategy call per-query from term stats.
+WAND_MIN_POSTINGS = 1_000_000
+
+
+def matched_docs(
+    index,
+    query: Query,
+    exhaustive: bool = True,
+    k: int | None = None,
+    wand_min_postings: int = WAND_MIN_POSTINGS,
+) -> DataFrame:
     """B2–B5: evaluate the boolean query -> DataFrame(doc_id, score).
 
     ``exhaustive=False`` enables block-max WAND pruning (B10) for
     should-only top-k queries — identical results, fewer decoded blocks
-    (requires ``k``). Everything else uses the exhaustive path.
+    (requires ``k``); the engine still picks the exhaustive plan when the
+    candidate volume is under ``wand_min_postings`` (cost-based, see
+    above — pass 0 to force pruning). Everything else uses the
+    exhaustive path.
     """
     stats_map = term_stats(index, query.scored_terms + query.must_not)
     # A MUST term absent from the dictionary -> empty result, by definition.
@@ -105,7 +123,14 @@ def matched_docs(index, query: Query, exhaustive: bool = True, k: int | None = N
         return spark.createDataFrame([], "doc_id long, score double")
     mn_present = sorted({t for t in query.must_not if t in stats_map})
 
-    if not exhaustive and not query.must and not query.must_not and k:
+    candidate_postings = sum(stats_map[t]["doc_freq"] for t in scored_present)
+    if (
+        not exhaustive
+        and not query.must
+        and not query.must_not
+        and k
+        and candidate_postings >= wand_min_postings
+    ):
         from sparktext.score import wand_candidate_blocks
 
         blocks = wand_candidate_blocks(index, scored_present, k, stats_map)

@@ -129,3 +129,27 @@ def test_hits_materialization(micro_index):
     rows = materialize_hits(micro_index, hits).collect()
     assert len(rows) == 1
     assert rows[0]["path"] == "c/0.py"
+
+
+def test_build_without_doc_ids(spark, micro_corpus, micro_index):
+    """A3: corpora without a caller-supplied doc_id get deterministic
+    dense ids ordered by (repo, path, commit), and the range partitions
+    double as segments (one less corpus shuffle). The micro fixture's
+    key order coincides with its doc_id order, so results must match the
+    explicit-id build exactly."""
+    from sparktext.build import build_index
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    idx = build_index(spark, micro_corpus.drop("doc_id"), num_segments=3)
+    assert idx.stats.num_docs == micro_index.stats.num_docs
+    assert idx.stats.total_tokens == micro_index.stats.total_tokens
+    for q in ["heavy", "apple banana", "+grape cherry", "apple -banana"]:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in top_k(matched_docs(idx, parse_query(q)), 12).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in top_k(matched_docs(micro_index, parse_query(q)), 12).collect()]
+        assert a == b, q
+    # ids are dense 0..n-1 in key order
+    ids = sorted(r["doc_id"] for r in idx.doc_meta.select("doc_id").collect())
+    assert ids == list(range(12))

@@ -7,7 +7,13 @@ from sparktext.topk import top_k
 
 
 def _topk(index, qstr, k, exhaustive):
-    df = top_k(matched_docs(index, parse_query(qstr), exhaustive=exhaustive, k=k), k)
+    # wand_min_postings=0 forces the PRUNING plan even on tiny fixtures
+    # (the cost-based gate would otherwise pick the exhaustive plan).
+    df = top_k(
+        matched_docs(index, parse_query(qstr), exhaustive=exhaustive, k=k,
+                     wand_min_postings=0),
+        k,
+    )
     return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
 
 
@@ -78,3 +84,17 @@ def test_wand_prunes_blocks(doc_index):
     total = postings_for_terms(doc_index, terms, stats_map).count()
     kept = wand_candidate_blocks(doc_index, terms, 10, stats_map).count()
     assert kept <= total
+
+
+def test_cost_based_fallback(doc_index):
+    """Below the postings threshold, exhaustive=False must pick the
+    exhaustive plan (no theta subtree) — plans are identical."""
+    from sparktext.query import matched_docs, parse_query
+
+    q = parse_query("query window scan")
+    lazy_wand = matched_docs(doc_index, q, exhaustive=False, k=10)
+    lazy_ex = matched_docs(doc_index, q, exhaustive=True)
+    assert "_theta" not in lazy_wand._jdf.queryExecution().analyzed().toString()
+    # forcing the threshold off re-enables the pruning plan
+    forced = matched_docs(doc_index, q, exhaustive=False, k=10, wand_min_postings=0)
+    assert "_theta" in forced._jdf.queryExecution().analyzed().toString()
