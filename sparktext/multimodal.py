@@ -38,6 +38,9 @@ _MAGIC = [
     ("52494646", "audio/wav"),  # RIFF (also webp/avi; fine for a sniffer)
     ("494433", "audio/mp3"),
     ("000000", "video/mp4"),  # ftyp boxes start 00 00 00 xx
+    ("50360a", "image/x-portable-pixmap"),  # "P6\n"
+    ("503620", "image/x-portable-pixmap"),  # "P6 "
+    ("424d", "image/bmp"),
 ]
 
 
@@ -67,12 +70,108 @@ def deterministic_fake_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
 
 
 def real_decoder_stub(payloads: pd.Series, dim: int) -> np.ndarray:
-    """Where a real image/audio decode would plug in."""
+    """Where a compressed-format (JPEG/PNG/audio) decode would plug in."""
     raise NotImplementedError(
-        "media decode requires Pillow/torchaudio/ffmpeg — not available in "
-        "this container; pass decoder=deterministic_fake_decoder for tests "
-        "or a real callable with signature (pd.Series, int) -> np.ndarray"
+        "JPEG/PNG/audio decode requires Pillow/torchaudio/ffmpeg — not "
+        "available in this container; uncompressed images decode for real "
+        "via image_decoder (PPM/BMP, pure numpy); pass "
+        "decoder=deterministic_fake_decoder for other formats in tests"
     )
+
+
+# ----------------------------- real decode: uncompressed image formats ----
+# PPM (P6) and 24-bit BMP are fully specified public formats decodable
+# with nothing but numpy — so this part of the multimodal path is REAL
+# end-to-end, not a stub: bytes -> (H, W, 3) pixels -> feature vector.
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 binary PPM -> (H, W, 3) uint8. Minimal spec parser: header is
+    'P6', whitespace-separated width/height/maxval, '#' comments."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (H, W, 3) uint8 RGB.
+    Rows are 4-byte padded and stored bottom-up; pixels are BGR."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real, deterministic image features: per-channel mean/std, log-area,
+    aspect ratio, and a 2x2 grayscale grid — padded/truncated to dim."""
+    f = np.asarray(img, dtype=np.float64)
+    h, w = f.shape[0], f.shape[1]
+    gray = f.mean(axis=2)
+    grid = [
+        gray[: h // 2 or 1, : w // 2 or 1].mean(),
+        gray[: h // 2 or 1, w // 2 :].mean() if w > 1 else gray.mean(),
+        gray[h // 2 :, : w // 2 or 1].mean() if h > 1 else gray.mean(),
+        gray[h // 2 :, w // 2 :].mean() if h > 1 and w > 1 else gray.mean(),
+    ]
+    feats = np.array(
+        [*f.mean(axis=(0, 1)), *f.std(axis=(0, 1)),
+         np.log1p(h * w), w / h, *grid],
+        dtype=np.float32,
+    )
+    if feats.size >= dim:
+        return feats[:dim]
+    return np.pad(feats, (0, dim - feats.size))
+
+
+def image_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
+    """REAL decoder for uncompressed images (PPM P6 / 24-bit BMP): decode
+    pixels with numpy and compute image-statistics features. Rows that
+    are not decodable images yield a zero vector (kept, flagged by the
+    all-zero pattern, so a mixed corpus still processes end-to-end)."""
+    out = np.zeros((len(payloads), dim), dtype=np.float32)
+    for i, p in enumerate(payloads):
+        if p is None:
+            continue
+        b = bytes(p)
+        try:
+            if b.startswith(b"P6"):
+                out[i] = _image_features(decode_ppm(b), dim)
+            elif b.startswith(b"BM"):
+                out[i] = _image_features(decode_bmp(b), dim)
+        except ValueError:
+            pass
+    return out
 
 
 def extract_features(
