@@ -221,19 +221,22 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b).
 
-    Rows of each band (signature slice) are grouped; docs sharing any
-    band bucket become a pair. The band join is an equi-join on the
-    bucket key — shuffle by key, no cross join anywhere; both join sides
-    share one plan, so AQE's exchange reuse computes the signature
-    pipeline once (no persist -> no per-call cache leak).
+    Rows of each band (signature slice) group into buckets; docs sharing
+    any bucket become a pair. ONE groupBy collects each bucket's (sorted)
+    doc ids and in-bucket pairs are generated JVM-side with array
+    expressions — no self-join, so the signature pipeline is computed
+    exactly once per call with nothing persisted (the join formulation
+    either re-computed it per side or leaked one cache per call; AQE
+    exchange reuse does not fire across self-join aliases here).
 
     ``max_bucket`` (the 100-TB skew escape): a band bucket of n docs
     yields n*(n-1)/2 pairs, so one mega-bucket of identical signatures —
-    a duplicate-heavy corpus — is quadratic. Buckets larger than
-    ``max_bucket`` are dropped (a documented recall trade: members of a
-    dropped bucket are overwhelmingly EXACT duplicates, which the scale
-    pipeline must remove with :func:`exact_dedup` BEFORE near-dup LSH —
-    run exact first, then LSH with a cap, e.g. 1000).
+    a duplicate-heavy corpus — is quadratic (and materializes an n-sized
+    array per bucket). Buckets larger than ``max_bucket`` are dropped (a
+    documented recall trade: members of a dropped bucket are
+    overwhelmingly EXACT duplicates, which the scale pipeline must remove
+    with :func:`exact_dedup` BEFORE near-dup LSH — run exact first, then
+    LSH with a cap, e.g. 1000). ALWAYS set it on real corpora.
     """
     sig = minhash_signatures(docs, text_col, h)
     rows_per_band = h // bands
@@ -244,20 +247,22 @@ def lsh_candidate_pairs(
     bands_df = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.key")
+    buckets = (
+        bands_df.groupBy("band_id", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     if max_bucket is not None:
-        small = (
-            bands_df.groupBy("band_id", "key")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_id", "key")
-        )
-        bands_df = bands_df.join(small, ["band_id", "key"], "semi")
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    # all i<j pairs of the sorted bucket array (2-arg lambda = (elem, idx))
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, ["band_id", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -153,3 +153,29 @@ def test_build_without_doc_ids(spark, micro_corpus, micro_index):
     # ids are dense 0..n-1 in key order
     ids = sorted(r["doc_id"] for r in idx.doc_meta.select("doc_id").collect())
     assert ids == list(range(12))
+
+
+def test_unicode_corpus_end_to_end(spark):
+    """Mixed ASCII/unicode corpus through the FUSED build: the per-batch
+    ascii fast path and unicode slow path must both index correctly."""
+    from sparktext.build import build_index
+    from sparktext.query import matched_docs, parse_query
+
+    rows = [
+        (0, "r", "p/0", "c0", "de", "Füße im Gras heute", 18),
+        (1, "r", "p/1", "c1", "en", "plain ascii grass today", 24),
+        (2, "r", "p/2", "c2", "de", "GRAS und fusse", 14),
+        (3, "r", "p/3", "c3", "ru", "тест привет gras", 16),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, "
+        "content string, n_chars long",
+    )
+    idx = build_index(spark, corpus, num_segments=2)
+    terms = {r["term"] for r in idx.term_dict.select("term").collect()}
+    assert {"füße", "gras", "тест", "привет", "ascii"} <= terms
+    hits = {r["doc_id"] for r in matched_docs(idx, parse_query("gras")).collect()}
+    assert hits == {0, 2, 3}
+    hits_u = {r["doc_id"] for r in matched_docs(idx, parse_query("привет")).collect()}
+    assert hits_u == {3}

@@ -57,3 +57,46 @@ def test_pipeline_stopwords():
     pipe = TokenizerPipeline(stopwords=frozenset({"the", "a"}))
     out = pipe.tokenize(pd.Series(["The quick a fox"]))
     assert list(out) == [["quick", "fox"]]
+
+
+def test_tokenize_flat_matches_per_row_on_mixed_batches():
+    """The ASCII fast path + unicode slow path + row-order stitching must
+    be indistinguishable from per-row tokenize_text, including rows that
+    mix scripts, empty rows, long tokens and None."""
+    import numpy as np
+    import pandas as pd
+
+    from sparktext.tokenizer import tokenize_flat, tokenize_text
+
+    rows = [
+        "Plain ASCII text with Numbers 123",
+        "Füße im Gras über Köln",          # umlauts (non-ascii)
+        "",                                 # empty
+        None,                               # null
+        "İstanbul DENEME kapıcı",           # dotted capital I (lower changes class)
+        "mixed ascii_and-под_скрипт text",  # cyrillic + underscores split
+        "x" * 45 + " short " + "y" * 39,    # 45-char dropped, 39 kept
+        "汉字 分词 测试 alpha",                 # CJK + ascii in one row
+        "ÆØÅ æøå",                          # latin-1 letters
+    ]
+    ser = pd.Series(rows)
+    row_idx, toks = tokenize_flat(ser)
+    got = {i: [] for i in range(len(rows))}
+    for i, t in zip(row_idx, toks):
+        got[int(i)].append(t)
+    for i, text in enumerate(rows):
+        assert got[i] == tokenize_text(text or ""), (i, text, got[i])
+
+
+def test_tokenize_flat_all_unicode_batch():
+    import pandas as pd
+
+    from sparktext.tokenizer import tokenize_flat, tokenize_text
+
+    rows = ["тест привет", "日本語 のテスト", "ありがとう"]
+    row_idx, toks = tokenize_flat(pd.Series(rows))
+    got = {i: [] for i in range(len(rows))}
+    for i, t in zip(row_idx, toks):
+        got[int(i)].append(t)
+    for i, text in enumerate(rows):
+        assert got[i] == tokenize_text(text)
