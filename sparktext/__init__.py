@@ -17,7 +17,9 @@ Layout (SURVEY.md §7):
 - :mod:`sparktext.aggs`       — C1–C14 aggregation collectors
 - :mod:`sparktext.session`    — SparkSession config (Arrow, AQE, shuffle)
 - :mod:`sparktext.textops`    — training-data pipeline ops (dedup, minhash,
-  simhash, lang-id, quality, fingerprint, token counts)
+  simhash, lang-id, quality, fingerprint, token counts) + the composed
+  ``training_data_pipeline`` (exact dedup -> quality -> lang -> near-dup)
+- :mod:`sparktext.porter2`    — built-in Snowball-English stemmer (A2)
 - :mod:`sparktext.ann`        — similarity search over embedding columns
 """
 

@@ -516,3 +516,48 @@ WHERE ROUND(
      * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
 6) >= 0.4""",
     }
+
+
+# ------------------------------------------------------ composed pipeline --
+
+
+def training_data_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] | None = None,
+    near_dup: bool = True,
+    minhash_h: int = MINHASH_H,
+    minhash_bands: int = MINHASH_BANDS,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """The composed 100-TB cleaning pipeline these operators exist for,
+    in the scale-correct order:
+
+    1. EXACT dedup first (hash groupBy — removes the identical-content
+       mass that would otherwise create quadratic LSH mega-buckets),
+    2. quality filter (pure column expressions),
+    3. optional language filter (marker heuristic),
+    4. near-dup removal via MinHash+LSH candidates (bucketed equi-work,
+       ``max_bucket``-capped): from each candidate pair the LARGER doc_id
+       drops, so one survivor remains per near-dup cluster chain.
+
+    Every stage is a narrow map, hash groupBy or semi/anti join — no
+    cross joins, no driver materialization; returns the surviving rows
+    of ``docs`` with a ``quality`` column attached.
+    """
+    survivors = exact_dedup(docs, text_col)
+    q = quality_scores(survivors, text_col).select("doc_id", "quality")
+    survivors = survivors.join(q, "doc_id").filter(F.col("quality") >= min_quality)
+    if keep_langs:
+        langs = lang_id(survivors, text_col)
+        keep = langs.filter(F.col("pred_lang").isin(list(keep_langs))).select("doc_id")
+        survivors = survivors.join(keep, "doc_id", "semi")
+    if near_dup:
+        pairs = lsh_candidate_pairs(
+            survivors, text_col, h=minhash_h, bands=minhash_bands,
+            max_bucket=max_bucket,
+        )
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = survivors.join(drop, "doc_id", "left_anti")
+    return survivors

@@ -79,3 +79,22 @@ def test_no_cache_growth_over_query_loop(spark, micro_index):
         top_k(matched_docs(micro_index, parse_query("heavy apple"),
                            exhaustive=False, k=3), 3).collect()
     assert n_cached() <= base
+
+
+def test_training_data_pipeline(spark):
+    from sparktext.textops import training_data_pipeline
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),  # exact dup of 0
+        (2, "z z z z z"),                                                      # low quality
+        (3, "a completely different document about spark query engines and "
+            "the many joys of distributed aggregation pipelines in the lake"),
+        (4, "the quick brown fox jumps over the lazy dog and runs far off"),   # near-dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = training_data_pipeline(docs, min_quality=0.3)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1 (exact dup) gone, 2 (quality) gone, 4 (near-dup, larger id) gone
+    assert ids == [0, 3]
+    assert "quality" in out.columns

@@ -154,3 +154,16 @@ def test_positions_through_persistent_path(spark, micro_corpus, tmpdir):
         spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2, resume=True
     )
     assert idx3.positions is not None
+
+
+def test_persisted_query_plan_prunes(spark, micro_corpus, tmpdir):
+    """§4.1 evidence: a term query against the persisted index must push
+    the term filter into the parquet scan (row-group skipping) AND prune
+    term_bucket partitions (file skipping)."""
+    from sparktext.build import build_index
+    from sparktext.query import matched_docs, parse_query
+
+    idx = build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=2)
+    plan = matched_docs(idx, parse_query("apple"))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,apple)]" in plan
+    assert "PartitionFilters: [isnotnull(term_bucket" in plan
