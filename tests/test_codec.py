@@ -96,3 +96,52 @@ def test_decode_blocks_pdf():
     assert (flat["segment_id"] == 3).all()
     assert (flat["term"] == "apple").all()
     assert flat["doc_id"].is_monotonic_increasing
+
+
+def test_decode_blocks_pdf_property():
+    """Batch decode (vectorized across blocks) == per-block decode for
+    randomized multi-term batches in arbitrary row order."""
+    import numpy as np
+    import pandas as pd
+
+    from sparktext import codec
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for t in range(12):
+        n = int(rng.integers(1, 400))
+        ids = np.unique(rng.integers(0, 10_000_000, size=n).astype(np.int64))
+        tfs = rng.integers(1, 1000, size=ids.size).astype(np.int64)
+        nms = rng.integers(0, 256, size=ids.size).astype(np.uint8)
+        for r in codec.encode_blocks(ids, tfs, nms):
+            r["segment_id"] = t % 3
+            r["term"] = f"t{t}"
+            rows.append(r)
+    pdf = pd.DataFrame(rows).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out = codec.decode_blocks_pdf(pdf.drop(columns=["last_doc"]))
+    i = 0
+    for row in pdf.to_dict("records"):
+        d, tf, nm = codec.decode_block(row)
+        c = row["count"]
+        seg = out.iloc[i : i + c]
+        assert (seg["doc_id"].to_numpy() == d).all()
+        assert (seg["tf"].to_numpy() == tf).all()
+        assert (seg["norm_id"].to_numpy() == nm).all()
+        assert (seg["term"] == row["term"]).all()
+        i += c
+    assert i == len(out)
+
+
+def test_empty_query_and_unknown_terms(spark):
+    from tests.conftest import MICRO_DOCS, MICRO_SCHEMA
+
+    from sparktext.build import build_index
+    from sparktext.query import matched_docs, parse_query
+
+    corpus = spark.createDataFrame(list(MICRO_DOCS), MICRO_SCHEMA)
+    idx = build_index(spark, corpus, num_segments=2)
+    assert matched_docs(idx, parse_query("")).count() == 0
+    assert matched_docs(idx, parse_query("zzznotaword")).count() == 0
+    assert matched_docs(idx, parse_query("+zzznotaword apple")).count() == 0
+    # must_not of an unknown term is a no-op, not an error
+    assert matched_docs(idx, parse_query("apple -zzznotaword")).count() > 0
