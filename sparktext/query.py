@@ -318,46 +318,78 @@ def search_many(
 
     # ONE decode of the union term set -> one row per doc holding a
     # term->partial-score MAP, then a BROADCAST join against the tiny
-    # (query_id, terms, must, must_not) table: each query's score is
-    # aggregate() over its term list via map lookups, match/must/must_not
-    # are exists/forall. The expression tree is CONSTANT-SIZE regardless
-    # of query count (no per-query Catalyst/janino compile cost — a
-    # 200-branch generated expression costs seconds of serial driver
-    # time), work is purely data-parallel, and per-query top-k is cut by
+    # query table. Per-query term lists are UNROLLED into fixed-width
+    # null-padded columns (t0..tN / m0../ n0.., widths = the batch's max
+    # list lengths, typically <= 4): match/must/must_not/score become
+    # plain null-safe map lookups, which whole-stage codegen compiles —
+    # the previous exists()/forall()/aggregate() higher-order lambdas are
+    # INTERPRETED per row, and the fan-out evaluates doc_count x
+    # query_count rows, so interpretation dominated batch wall time.
+    # The expression tree stays CONSTANT-SIZE in the number of queries
+    # (no per-query janino compile cost); per-query top-k is cut by
     # WindowGroupLimit's partial heap before the only qid exchange.
     terms = sorted(need_terms)
+    # Union terms get dense driver-side int ids: the 40M-row groupBy then
+    # shuffles (doc, int, double) instead of (doc, string, double) and
+    # the per-(doc, query) lookups hash ints, not strings.
+    term_id = {t: i for i, t in enumerate(terms)}
     decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
-    scored = decoded.withColumn(
-        "partial",
-        bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")),
+    tid_pairs = []
+    for t, i in term_id.items():
+        tid_pairs.extend([F.lit(t), F.lit(i)])
+    scored = decoded.select(
+        "doc_id",
+        F.element_at(F.create_map(*tid_pairs), F.col("term")).alias("tid"),
+        bm25_score_col(
+            index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
+        ).alias("partial"),
     )
     doc_maps = scored.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("term", "partial"))).alias("pm")
+        F.map_from_entries(F.collect_list(F.struct("tid", "partial"))).alias("pm")
     )
-    qrows = []
-    for qid, q in live.items():
-        qrows.append(
-            (
-                qid,
-                [t for t in q.scored_terms if t in stats_map],
-                sorted(set(q.must)),
-                sorted(t for t in set(q.must_not) if t in stats_map),
-            )
+    lists = {
+        qid: (
+            [term_id[t] for t in q.scored_terms if t in stats_map],
+            sorted(term_id[t] for t in set(q.must)),
+            sorted(term_id[t] for t in set(q.must_not) if t in stats_map),
         )
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            qrows,
-            "query_id string, terms array<string>, must array<string>, "
-            "mnot array<string>",
-        )
+        for qid, q in live.items()
+    }
+    w_t = max(len(v[0]) for v in lists.values())
+    w_m = max((len(v[1]) for v in lists.values()), default=0)
+    w_n = max((len(v[2]) for v in lists.values()), default=0)
+
+    def _pad(xs, width):
+        return xs + [None] * (width - len(xs))
+
+    qrows = [
+        (qid, *_pad(ts, w_t), *_pad(ms, w_m), *_pad(ns, w_n))
+        for qid, (ts, ms, ns) in lists.items()
+    ]
+    schema = ", ".join(
+        ["query_id string"]
+        + [f"t{i} int" for i in range(w_t)]
+        + [f"m{j} int" for j in range(w_m)]
+        + [f"n{l} int" for l in range(w_n)]
     )
+    qdf = F.broadcast(spark.createDataFrame(qrows, schema))
     joined = doc_maps.join(qdf)  # broadcast nested-loop fan-out, no shuffle
-    cond = F.expr(
-        "exists(terms, t -> pm[t] IS NOT NULL) "
-        "AND forall(must, t -> pm[t] IS NOT NULL) "
-        "AND forall(mnot, t -> pm[t] IS NULL)"
-    )
-    score = F.expr("aggregate(terms, 0D, (acc, t) -> acc + coalesce(pm[t], 0D))")
+
+    def _lk(c):  # null-safe, non-ANSI-failing map lookup (codegen'd)
+        return F.try_element_at(F.col("pm"), F.col(c))
+
+    match_any = None
+    score = None
+    for i in range(w_t):
+        hit = _lk(f"t{i}")
+        match_any = hit.isNotNull() if match_any is None else (match_any | hit.isNotNull())
+        part = F.coalesce(hit, F.lit(0.0))
+        score = part if score is None else (score + part)
+    cond = match_any
+    for j in range(w_m):
+        cond = cond & (F.col(f"m{j}").isNull() | _lk(f"m{j}").isNotNull())
+    for l in range(w_n):
+        cond = cond & (F.col(f"n{l}").isNull() | _lk(f"n{l}").isNull())
     grouped = joined.filter(cond).select(
         "doc_id", "query_id", score.alias("score")
     )
