@@ -471,11 +471,19 @@ def build_index(
         # partition (= a contiguous doc range) — adopt it as the segment
         # and SKIP the second full-corpus shuffle entirely.
         corpus = with_sha(corpus.withColumnRenamed("_pid", "segment_id"))
+    elif corpus.rdd.getNumPartitions() >= max(num_segments // 2, 2):
+        # Caller-supplied doc ids AND a well-split input: adopt the input
+        # partitions as segments outright — zero shuffle. Segments become
+        # arrival-order batches (exactly tantivy's segment semantics;
+        # nothing requires contiguous doc ranges: per-(segment, term)
+        # posting lists are sorted in the worker, scores are
+        # segmentation-independent, and merge re-derives segmentation).
+        # Sparse in-segment doc ids cost a few extra delta bits per gap.
+        corpus = with_sha(corpus.withColumn("segment_id", F.spark_partition_id()))
     else:
-        # Repartition BEFORE the sha projection: otherwise the per-row
-        # sha256 (and any upstream narrow prep like a replicate
-        # cross-join) materializes on the INPUT partitioning — one small
-        # source file would serialize the whole prep on a single task.
+        # Few-partition input (e.g. one small local file): repartition
+        # BEFORE the sha projection so per-row prep runs post-exchange —
+        # and so one source file can't serialize the whole build.
         corpus = with_sha(
             corpus.withColumn(
                 "segment_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
