@@ -130,13 +130,28 @@ def with_sha(corpus: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(
-    corpus: DataFrame, num_partitions: int, keep_pid: bool = False
+    corpus: DataFrame,
+    num_partitions: int,
+    keep_pid: bool = False,
+    _cache_out: list | None = None,
 ) -> DataFrame:
     """Deterministic dense doc_id ordered by (repo, path, commit).
 
     Two-phase (scales to arbitrary row counts — no single-partition
     window): range-partition on the key, per-partition row_number, then add
     collected cumulative partition offsets via a broadcast join.
+
+    The ranged DataFrame is PERSISTED before the counts collect (which
+    materializes it): repartitionByRange samples its boundaries and Spark
+    documents the result as potentially inconsistent across executions,
+    so without the pin the counts job and the assignment job could see
+    different partitionings — mismatched offsets, duplicate/skipped ids.
+    The cache guarantees both jobs read the same physical partitions.
+    (Residual cluster caveat: losing a cached partition to executor death
+    re-runs the sampling lineage for that partition only; production
+    builds should checkpoint or write-out the ranged corpus instead.)
+    Callers pass ``_cache_out`` (a list) to receive the cached DataFrame
+    and unpersist it once their own downstream materialization is done.
 
     ``keep_pid=True`` keeps the ``_pid`` range-partition column: each
     range partition holds a CONTIGUOUS doc-id range (ids are assigned in
@@ -147,7 +162,9 @@ def assign_doc_ids(
     if "doc_id" in corpus.columns:
         return corpus
     ranged = corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if _cache_out is not None:
+        _cache_out.append(ranged)
     counts = ranged.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, 0
     for row in counts:
@@ -462,7 +479,8 @@ def build_index(
     pw = phase_walls if phase_walls is not None else {}
     t0 = time.time()
     assigned = "doc_id" not in corpus.columns
-    corpus = assign_doc_ids(corpus, num_segments, keep_pid=assigned)
+    _id_caches: list = []
+    corpus = assign_doc_ids(corpus, num_segments, keep_pid=assigned, _cache_out=_id_caches)
     n_docs = corpus.count()
     pw["assign_count"] = round(time.time() - t0, 3)
     seg_size = max(1, math.ceil(n_docs / num_segments))
@@ -568,6 +586,10 @@ def build_index(
     t0 = time.time()
     total_tokens = meta_rows.agg(F.sum("doc_len")).collect()[0][0] or 0
     pw["tokenize_encode"] = round(time.time() - t0, 3)
+    # The fused/tokens cache is materialized now; the doc-id assignment's
+    # ranged cache has served its purpose — release it.
+    for c in _id_caches:
+        c.unpersist()
     stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))
     return Index(doc_meta=doc_meta, postings=postings, term_dict=term_dict,
                  stats=stats, n_buckets=n_buckets, positions=positions)

@@ -117,10 +117,22 @@ def build_persistent_index(
             "empty directory (re-running a fresh build here would "
             "double-write every row)"
         )
-    if resume and prior is not None:
+    geometry_path = os.path.join(index_dir, "geometry.json")
+    if resume and os.path.exists(geometry_path):
         # Adopt the recorded build geometry: resuming at a different
         # parallelism would re-derive different segment/group boundaries
-        # and silently skip or duplicate docs.
+        # and silently skip or duplicate docs. The sidecar is written
+        # BEFORE the first group write, so it exists even when the build
+        # crashed mid-first-group (no manifest row yet) — without it,
+        # orphan partitions from the crashed geometry could survive
+        # _overwrite_group's partition-scoped replacement and load as
+        # duplicate postings.
+        with open(geometry_path) as f:
+            geo = json.load(f)
+        num_segments, num_groups = int(geo["num_segments"]), int(geo["num_groups"])
+        with_positions = bool(geo["with_positions"])
+    elif resume and prior is not None:
+        # Pre-sidecar index: fall back to the manifest row.
         row0 = (
             prior.select("num_segments", "num_groups", "with_positions")
             .orderBy(F.desc("num_segments"))
@@ -129,8 +141,13 @@ def build_persistent_index(
         )
         num_segments, num_groups = int(row0["num_segments"]), int(row0["num_groups"])
         with_positions = bool(row0["with_positions"])
+    os.makedirs(index_dir, exist_ok=True)
+    with open(geometry_path, "w") as f:
+        json.dump({"num_segments": num_segments, "num_groups": num_groups,
+                   "with_positions": with_positions}, f)
 
-    corpus = assign_doc_ids(corpus, num_segments)
+    _id_caches: list = []
+    corpus = assign_doc_ids(corpus, num_segments, _cache_out=_id_caches)
     n_docs = corpus.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
     segs_per_group = max(1, math.ceil(num_segments / num_groups))
@@ -266,6 +283,8 @@ def build_persistent_index(
     # fresh and resumed builds uniformly).
     _finalize(spark, index_dir, n_buckets, num_segments, build_id)
     corpus.unpersist()
+    for c in _id_caches:
+        c.unpersist()
     return load_index(spark, index_dir)
 
 
@@ -335,10 +354,11 @@ def append_documents(
     if num_segments is None:
         num_segments = max(4, spark.sparkContext.defaultParallelism)
     corpus = with_sha(new_corpus)
+    _id_caches: list = []
     if "doc_id" in corpus.columns:
         corpus = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc))
     else:
-        corpus = assign_doc_ids(corpus, num_segments).withColumn(
+        corpus = assign_doc_ids(corpus, num_segments, _cache_out=_id_caches).withColumn(
             "doc_id", F.col("doc_id") + F.lit(base_doc)
         )
     n_new = corpus.count()
@@ -392,8 +412,19 @@ def append_documents(
     _append(man_row, os.path.join(index_dir, "_manifest"))
 
     _finalize(spark, index_dir, n_buckets, st["num_segments"] + num_segments, build_id)
+    geometry_path = os.path.join(index_dir, "geometry.json")
+    if os.path.exists(geometry_path):
+        # Keep the resume sidecar in sync with the appended segment count.
+        with open(geometry_path) as f:
+            geo = json.load(f)
+        geo["num_segments"] = int(st["num_segments"] + num_segments)
+        geo["num_groups"] = int(g + 1)
+        with open(geometry_path, "w") as f:
+            json.dump(geo, f)
     tokens.unpersist()
     corpus.unpersist()
+    for c in _id_caches:
+        c.unpersist()
     return load_index(spark, index_dir)
 
 

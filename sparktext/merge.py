@@ -39,11 +39,25 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparktext import codec
-from sparktext.build import Index, encode_posting_blocks
+from sparktext.build import Index, IndexStats, encode_posting_blocks, term_bucket_col
 
 
-def merge_segments(index: Index, num_segments: int) -> Index:
-    """Merge/re-segment an index to ``num_segments`` segments."""
+def merge_segments(
+    index: Index, num_segments: int, recompute_stats: bool = False
+) -> Index:
+    """Merge/re-segment an index to ``num_segments`` segments.
+
+    ``recompute_stats=True`` re-derives term_dict (from the merged block
+    headers) and num_docs/total_tokens (from the merged doc_meta) AFTER
+    tombstone purge — the reference's post-merge semantics, where a
+    rewritten segment carries post-purge statistics. The default (False)
+    keeps the pre-delete statistics, which makes merge query-transparent
+    (build→delete→merge scores == build→delete scores) but lets
+    doc_freq/num_docs overcount accumulate across repeated delete+merge
+    cycles, drifting BM25 idf away from a fresh rebuild of the alive
+    corpus. Pick per use-case: transparency for incremental serving,
+    recompute for periodic compaction.
+    """
     spark = index.postings.sparkSession
     n_docs = index.stats.num_docs
     seg_size = max(1, -(-n_docs // num_segments))
@@ -72,11 +86,27 @@ def merge_segments(index: Index, num_segments: int) -> Index:
     reassigned = decoded.withColumn("segment_id", new_seg)
     postings = encode_posting_blocks(reassigned, index.n_buckets).persist()
 
+    term_dict, stats = index.term_dict, index.stats
+    if recompute_stats:
+        # Same derivations as a fresh build: headers (128x fewer rows
+        # than postings, algebraic sums) for the dictionary, one tiny
+        # doc_meta aggregate for the corpus stats.
+        term_dict = (
+            postings.groupBy("term")
+            .agg(F.sum("count").alias("doc_freq"), F.sum("sum_tf").alias("total_tf"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), index.n_buckets))
+            .persist()
+        )
+        srow = doc_meta.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("tt")
+        ).collect()[0]
+        stats = IndexStats(num_docs=int(srow["n"]), total_tokens=int(srow["tt"] or 0))
+
     return Index(
         doc_meta=doc_meta,
         postings=postings,
-        term_dict=index.term_dict,
-        stats=index.stats,
+        term_dict=term_dict,
+        stats=stats,
         n_buckets=index.n_buckets,
         positions=positions,
         deleted=None,

@@ -106,6 +106,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if w <= 0 or h <= 0:
+        # 0-pixel images would NaN the channel means and h=0 would
+        # ZeroDivisionError the aspect ratio downstream — one hostile row
+        # must degrade to the zero-vector flag, not crash the Spark task.
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3)
 
@@ -124,6 +129,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
     img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
@@ -169,7 +176,9 @@ def image_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
                 out[i] = _image_features(decode_ppm(b), dim)
             elif b.startswith(b"BM"):
                 out[i] = _image_features(decode_bmp(b), dim)
-        except ValueError:
+        except (ValueError, IndexError, OverflowError, ZeroDivisionError):
+            # Any malformed payload degrades to the zero-vector flag —
+            # a hostile row must never crash the whole Spark task.
             pass
     return out
 

@@ -245,8 +245,14 @@ def prefix_docs(index, prefix: str) -> DataFrame:
 def regex_docs(index, pattern: str) -> DataFrame:
     """B7 regex query: dictionary expansion via rlike (tantivy RegexQuery
     walks the FST with a regex automaton; the Spark twin filters the
-    vocabulary-sized dictionary — same pruning, no automaton needed)."""
-    return _dict_expansion_union(index, F.col("term").rlike(pattern))
+    vocabulary-sized dictionary — same pruning, no automaton needed).
+
+    The pattern is anchored to the WHOLE term (tantivy RegexQuery
+    semantics); rlike alone is a find/substring match, which would make
+    ``regex_docs(idx, 'spar')`` match every term *containing* 'spar'."""
+    return _dict_expansion_union(
+        index, F.col("term").rlike(f"^(?:{pattern})$")
+    )
 
 
 def fuzzy_docs(index, term: str, max_edits: int = 1) -> DataFrame:

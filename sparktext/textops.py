@@ -323,7 +323,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    view = f"_simhash_tf_{abs(hash(text_col)) % 10 ** 8}"
+    # Stable view name (Python's str hash is salted per process, which
+    # made the name nondeterministic across runs — harmless but noisy).
+    view = "_simhash_tf_" + "".join(c if c.isalnum() else "_" for c in text_col)
     tf.createOrReplaceTempView(view)
     return spark.sql(_simhash_sql(view, "sha2({}, 256)", bits))
 

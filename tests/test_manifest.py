@@ -167,3 +167,31 @@ def test_persisted_query_plan_prunes(spark, micro_corpus, tmpdir):
     plan = matched_docs(idx, parse_query("apple"))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,apple)]" in plan
     assert "PartitionFilters: [isnotnull(term_bucket" in plan
+
+
+def test_geometry_sidecar_survives_first_group_crash(spark, micro_corpus, micro_index, tmpdir):
+    """Crash DURING the first group (data partially written, no manifest
+    row yet): a resume at different parallelism must adopt the geometry
+    sidecar, not re-derive boundaries — otherwise orphan partitions from
+    the crashed geometry survive as duplicate postings."""
+    import os
+
+    from sparktext.build import build_index
+
+    done = tmpdir + "/done2"
+    crashed = tmpdir + "/crashed2"
+    build_index(spark, micro_corpus, num_segments=3, index_dir=done, num_groups=2)
+    for sub in ("postings", "doc_meta"):
+        src = os.path.join(done, sub)
+        dst = os.path.join(crashed, sub)
+        for part in os.listdir(src):
+            if part.startswith("group_id=0"):
+                shutil.copytree(os.path.join(src, part), os.path.join(dst, part))
+    # the sidecar was written before the first group write
+    shutil.copy(os.path.join(done, "geometry.json"), os.path.join(crashed, "geometry.json"))
+    idx = build_index(
+        spark, micro_corpus, num_segments=7, index_dir=crashed, num_groups=5, resume=True
+    )
+    assert idx.stats.num_docs == micro_index.stats.num_docs
+    assert spark.read.parquet(f"{crashed}/doc_meta").count() == 12
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")

@@ -124,3 +124,35 @@ def test_merge_carries_positions(spark, micro_corpus):
     after = sorted((r["doc_id"], round(r["score"], 9))
                    for r in phrase_docs(merged, ["apple", "banana"]).collect())
     assert before == after and before
+
+
+def test_merge_recompute_stats(spark, micro_index, micro_corpus):
+    """recompute_stats=True: post-purge statistics must equal a fresh
+    rebuild over the alive corpus (reference post-merge semantics)."""
+    from sparktext.build import build_index
+    from sparktext.merge import merge_segments
+
+    from tests.conftest import MICRO_DOCS
+
+    apple_docs = {r[0] for r in MICRO_DOCS if "apple" in r[5].split()}
+    victims = sorted(apple_docs)[:2]
+    deleted = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    merged = merge_segments(micro_index.with_deletes(deleted), 1, recompute_stats=True)
+
+    fresh = build_index(
+        spark, micro_corpus.filter(~F.col("doc_id").isin(victims)), num_segments=1
+    )
+    assert merged.stats.num_docs == fresh.stats.num_docs
+    assert merged.stats.total_tokens == fresh.stats.total_tokens
+    got = {
+        r["term"]: (r["doc_freq"], r["total_tf"])
+        for r in merged.term_dict.collect()
+    }
+    want = {
+        r["term"]: (r["doc_freq"], r["total_tf"])
+        for r in fresh.term_dict.collect()
+    }
+    assert got == want
+    # and scores now match the fresh rebuild exactly (same ids kept)
+    for q in ["apple", "heavy banana"]:
+        assert _topk(merged, q) == _topk(fresh, q), q

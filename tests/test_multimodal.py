@@ -124,3 +124,24 @@ def test_extract_features_real_decoder(spark):
     assert feats[1][:3] == [0.0, 0.0, 255.0]
     # non-image -> zero vector, row preserved
     assert all(v == 0.0 for v in feats[2])
+
+
+def test_degenerate_images_degrade_to_zero_vector():
+    """Hostile rows (0-height BMP, 0x0 PPM) must yield the zero-vector
+    flag, not crash the task (ZeroDivisionError / NaN means)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparktext.multimodal import image_decoder
+
+    bad_bmp = bytearray(b"BM" + b"\x00" * 60)
+    bad_bmp[10:14] = (54).to_bytes(4, "little")
+    bad_bmp[18:22] = (4).to_bytes(4, "little")   # w=4
+    bad_bmp[22:26] = (0).to_bytes(4, "little")   # h=0
+    bad_bmp[28:30] = (24).to_bytes(2, "little")
+    bad_ppm = b"P6\n0 0\n255\n"
+    truncated = b"P6\n"
+    out = image_decoder(pd.Series([bytes(bad_bmp), bad_ppm, truncated, None]), 8)
+    assert out.shape == (4, 8)
+    assert np.isfinite(out).all()
+    assert (out == 0).all()

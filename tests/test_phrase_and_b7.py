@@ -136,3 +136,14 @@ def test_expansion_no_driver_collect(micro_index):
 
     plan = prefix_docs(micro_index, "gra")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_regex_whole_term_anchoring(micro_index):
+    """tantivy RegexQuery anchors to the WHOLE term: an unanchored
+    pattern must not behave as a substring search."""
+    from sparktext.query import regex_docs
+
+    # 'appl' is a substring of 'apple' but matches no whole term
+    assert regex_docs(micro_index, "appl").count() == 0
+    rows = {r["doc_id"] for r in regex_docs(micro_index, "appl.*").collect()}
+    assert rows == {d for d, t in DOCS.items() if "apple" in t.split()}
