@@ -159,7 +159,10 @@ def main() -> None:
     run("q_batch20", batch20)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    run("op_minhash_lsh", lambda: lsh_candidate_pairs(docs).count())
+    # Production hash path (xxhash64 int64 signatures). The sha256-hex
+    # twin exists only for DuckDB oracle parity; recall equivalence is
+    # pinned in tests/test_hygiene.py::test_minhash_xxhash64_recall_matches_sha.
+    run("op_minhash_lsh", lambda: lsh_candidate_pairs(docs, hash_fn="xxhash64").count())
     run("op_simhash", lambda: simhash(docs).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

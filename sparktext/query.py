@@ -93,7 +93,17 @@ def postings_for_terms(index, terms: list[str], stats_map: dict | None = None) -
 #: ``exhaustive=False`` falls back to the single-scan exhaustive plan —
 #: results are identical either way; this only picks the cheaper plan.
 #: Lucene/tantivy make the same strategy call per-query from term stats.
-WAND_MIN_POSTINGS = 1_000_000
+#:
+#: Calibrated from measured crossover on the skewed-impact bench corpus
+#: (local[32], round 3): exhaustive vs forced-pruning wall seconds were
+#: 1.29/3.12 @1.5M postings, 1.63/3.16 @6M, 1.40/1.99 @12M, 1.95/2.29
+#: @24M — the pruning plan's fixed cost (~3 extra AQE stage
+#: materializations + a header-linear bound pass) converges toward but
+#: never beats exhaustive below ~24M, extrapolating to a ~40-50M
+#: crossover here. The scale argument for WAND is decode VOLUME (99%
+#: of blocks skipped, see bench zipf_* counters), which buys wall time
+#: only once per-term posting lists dwarf the fixed stage latency.
+WAND_MIN_POSTINGS = 50_000_000
 
 
 def matched_docs(

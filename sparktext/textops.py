@@ -8,9 +8,11 @@ Design rules:
 - Everything is JVM-side column expressions (regexp_extract_all, higher
   order array functions, sha2) — zero Python UDFs, full whole-stage
   codegen, trivially scales: these are narrow maps + one groupBy/join.
-- All hashing is sha256-hex (both engines expose it), compared as
-  STRINGS — min-of-hex is a total order, which is all MinHash needs, so
-  the DuckDB oracle computes bit-identical values.
+- MinHash has two hash backends: sha256-hex (both engines expose it;
+  min-of-hex strings is a total order, so the DuckDB oracle computes
+  bit-identical values — the correctness twin) and xxhash64 int64 (the
+  PRODUCTION path: same LSH guarantees, ~10x cheaper, shuffles longs
+  not hex strings — what a 100 TB dedup run must use).
 - The text-ops analyzer is the simple ascii ``[a-z0-9]+`` lowercase
   regex (pipeline ops care about content similarity, not scoring parity;
   the index tokenizer A1 remains the unicode one).
@@ -189,11 +191,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # -------------------------------------------------------------- MinHash ----
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", h: int = MINHASH_H) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", h: int = MINHASH_H,
+    hash_fn: str = "sha256",
+) -> DataFrame:
     """H min-hash values over the distinct 3-gram shingle set.
 
-    sig_i = min over shingles of sha256('{i}:' || shingle) — hex-string
-    min is a valid total order, and matches the DuckDB oracle exactly.
+    ``hash_fn="sha256"`` (oracle twin): sig_i = min over shingles of
+    sha256('{i}:' || shingle) — hex-string min is a valid total order,
+    and matches the DuckDB oracle exactly.
+
+    ``hash_fn="xxhash64"`` (the PRODUCTION path): sig_i =
+    min(xxhash64(i, shingle)) as int64 — the same LSH guarantees (any
+    family of independent hash total-orders works), ~10x cheaper per
+    shingle, and every downstream shuffle moves longs instead of 64-char
+    hex strings. At 100 TB the sha256 constant (H hashes per shingle,
+    string mins) is the dedup pipeline's dominant cost; always use
+    xxhash64 there and keep sha256 for cross-engine oracle parity.
     """
     docs = _spread(docs)
     # Explode distinct shingles ONCE, then take the H mins as plain
@@ -205,10 +219,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", h: int = MINHASH
     sh_flat = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("shingle")
     )
-    cols = [
-        F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256)).alias(f"s{i}")
-        for i in range(h)
-    ]
+    if hash_fn == "xxhash64":
+        cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"s{i}")
+            for i in range(h)
+        ]
+    elif hash_fn == "sha256":
+        cols = [
+            F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256)).alias(f"s{i}")
+            for i in range(h)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'sha256' or 'xxhash64', got {hash_fn!r}")
     return sh_flat.groupBy("doc_id").agg(*cols)
 
 
@@ -218,6 +240,7 @@ def lsh_candidate_pairs(
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
     max_bucket: int | None = None,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b).
 
@@ -238,11 +261,18 @@ def lsh_candidate_pairs(
     with :func:`exact_dedup` BEFORE near-dup LSH — run exact first, then
     LSH with a cap, e.g. 1000). ALWAYS set it on real corpora.
     """
-    sig = minhash_signatures(docs, text_col, h)
+    sig = minhash_signatures(docs, text_col, h, hash_fn=hash_fn)
     rows_per_band = h // bands
     band_structs = []
     for b in range(bands):
-        key = F.concat(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
+        sig_cols = [F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            # int64 signatures: fold the band slice into ONE long key —
+            # the bucket groupBy shuffles 8-byte keys, not concatenated
+            # hex strings (~rows_per_band*64 bytes each).
+            key = F.xxhash64(*sig_cols)
+        else:
+            key = F.concat(*sig_cols)
         band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("key")))
     bands_df = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
@@ -268,14 +298,15 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.0
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.0,
+    hash_fn: str = "sha256",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity, computed ONLY for LSH candidate
     pairs (never all-pairs): |A∩B| / |A∪B| over distinct 3-gram shingles."""
     sh = docs.select(
         "doc_id", shingles_col(tokens_col(F.col(text_col))).alias("sh")
     )
-    pairs = lsh_candidate_pairs(docs, text_col)
+    pairs = lsh_candidate_pairs(docs, text_col, hash_fn=hash_fn)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -532,6 +563,7 @@ def training_data_pipeline(
     minhash_h: int = MINHASH_H,
     minhash_bands: int = MINHASH_BANDS,
     max_bucket: int | None = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The composed 100-TB cleaning pipeline these operators exist for,
     in the scale-correct order:
@@ -558,7 +590,7 @@ def training_data_pipeline(
     if near_dup:
         pairs = lsh_candidate_pairs(
             survivors, text_col, h=minhash_h, bands=minhash_bands,
-            max_bucket=max_bucket,
+            max_bucket=max_bucket, hash_fn=hash_fn,
         )
         drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         survivors = survivors.join(drop, "doc_id", "left_anti")
