@@ -227,6 +227,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, mm = _matched_meta(spark, sf_dir, "spark")
         return nested_terms_agg(mm, "lang", "repo", size1=3, size2=2)
 
+    def agg_terms_multivalued(spark, sf_dir):
+        # C7 over a multi-valued (ArrayType) facet: tags derived
+        # deterministically from scalar metadata, exploded inside terms_agg.
+        _, mm = _matched_meta(spark, sf_dir, "spark")
+        tags = F.concat(
+            F.array("lang", "repo"),
+            F.when(F.col("n_chars") > 300, F.array(F.lit("long")))
+            .otherwise(F.array().cast("array<string>")),
+        )
+        return terms_agg(
+            mm.withColumn("tag", tags), "tag", size=10, sub_aggs=[SumAgg("n_chars")]
+        )
+
+    def agg_facet_paths(spark, sf_dir):
+        # C7 hierarchical: '/lang/repo' paths with ancestor rollup.
+        from sparktext.aggs import facet_terms_agg
+
+        _, mm = _matched_meta(spark, sf_dir, "spark")
+        fpath = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("repo"))
+        return facet_terms_agg(mm.withColumn("fpath", fpath), "fpath", size=10)
+
+    def search_phrase_slop(spark, sf_dir):
+        from sparktext.query import phrase_docs
+        from sparktext.topk import top_k
+
+        idx = _index(spark, sf_dir)
+        return top_k(phrase_docs(idx, ["query", "window"], slop=1), 10, round_decimals=4)
+
     def agg_composed(spark, sf_dir):
         # C13: a tuple of metric collectors in ONE pass.
         _, mm = _matched_meta(spark, sf_dir, "query window")
@@ -260,6 +288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": agg_percentiles,
         "agg_post_filter_hits": agg_post_filter_hits,
         "agg_terms_nested": agg_terms_nested,
+        "agg_terms_multivalued": agg_terms_multivalued,
+        "agg_facet_paths": agg_facet_paths,
+        "search_phrase_slop": search_phrase_slop,
         "agg_composed": agg_composed,
     }
     out.update(textops.queries())
@@ -460,6 +491,45 @@ b2 AS (SELECT *, DENSE_RANK() OVER (ORDER BY tot DESC, lang ASC) AS rk FROM b1),
 b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo ASC) AS rn2
        FROM b2 WHERE rk <= 3)
 SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
+        "agg_terms_multivalued": f"""
+WITH {_TOK}, {_MATCHED_SPARK},
+t AS (SELECT unnest(
+        [lang, source] || CASE WHEN n_chars > 300 THEN ['long']
+                          ELSE CAST([] AS VARCHAR[]) END
+      ) AS tag, n_chars
+      FROM matched)
+SELECT tag, COUNT(*) AS count,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars
+FROM t GROUP BY tag ORDER BY count DESC, tag ASC LIMIT 10""",
+        "agg_facet_paths": f"""
+WITH {_TOK}, {_MATCHED_SPARK},
+t AS (SELECT '/' || lang AS facet FROM matched
+      UNION ALL SELECT '/' || lang || '/' || source FROM matched)
+SELECT facet, COUNT(*) AS count
+FROM t GROUP BY facet ORDER BY count DESC, facet ASC LIMIT 10""",
+        "search_phrase_slop": f"""
+WITH tokp AS (SELECT doc_id,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+     FROM documents),
+{_TOK}, {_DL}, {norm_values_sql()},
+qdl AS (SELECT doc_id, (SELECT MAX(v) FROM norm_vals WHERE v <= doc_len) AS q FROM dl),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT SUM(doc_len) FROM dl) AS total),
+a AS (SELECT doc_id, pos AS p FROM tokp WHERE term = 'query'),
+b AS (SELECT doc_id, pos AS q FROM tokp WHERE term = 'window'),
+anchors AS (SELECT DISTINCT a.doc_id, a.p FROM a
+            JOIN b ON b.doc_id = a.doc_id AND abs(b.q - a.p - 1) <= 1),
+ptf AS (SELECT doc_id, COUNT(*) AS tf FROM anchors GROUP BY doc_id),
+idf AS (SELECT SUM(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))) AS sidf
+        FROM (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokp
+              WHERE term IN ('query', 'window') GROUP BY term) d, stats)
+SELECT ptf.doc_id AS doc_id,
+       ROUND(idf.sidf * ptf.tf * ({K1} + 1.0)
+             / (ptf.tf + {K1} * (1.0 - {B} + {B} * qdl.q
+                / (CAST(stats.total AS DOUBLE) / stats.n))), 4) AS score
+FROM ptf JOIN qdl ON qdl.doc_id = ptf.doc_id, idf, stats
+ORDER BY score DESC, ptf.doc_id ASC LIMIT 10""",
         "agg_composed": f"""
 WITH {_TOK}, {_DL}, {_matched_sql(["query", "window"])}
 SELECT COUNT(*) AS count, CAST(COALESCE(SUM(doc_len), 0) AS BIGINT) AS sum_doc_len,

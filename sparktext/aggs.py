@@ -165,7 +165,16 @@ def terms_agg(
     groupBy(field) runs with map-side partial aggregation; top-N uses a
     single-partition window over the (small, cardinality-of-facet) bucket
     set — never over docs. Tie-break: bucket key ascending.
+
+    MULTI-VALUED facets (the crate's terms_agg over multi-valued fast
+    fields; SURVEY §1.3): an ``ArrayType`` field column is exploded first
+    — each doc contributes to every bucket it holds a value for (the
+    Elasticsearch/tantivy contract), and docs with empty/null arrays
+    contribute to none. The explode is a narrow map feeding the same
+    partial+final hash aggregation.
     """
+    if dict(matched.dtypes).get(field, "").startswith("array"):
+        matched = matched.withColumn(field, F.explode(field))
     cols = [F.count(F.lit(1)).alias("count")]
     for sub in sub_aggs or []:
         cols.extend(sub.exprs())
@@ -182,6 +191,47 @@ def terms_agg(
             .drop("_rn")
         )
     return buckets
+
+
+def facet_prefixes_col(path_col: Column, depth: int | None = None) -> Column:
+    """Hierarchical facet paths (tantivy's ``facet`` field type, e.g.
+    ``/lang/rust``): every ancestor prefix of the path up to ``depth``
+    levels — '/lang/rust' -> ['/lang', '/lang/rust']. Pure column
+    expression (split + transform + slice); empty/blank paths yield [].
+    """
+    parts = F.split(F.regexp_replace(path_col, r"^/+|/+$", ""), "/")
+    parts = F.filter(parts, lambda x: x != "")
+    n = F.size(parts)
+    upper = n if depth is None else F.least(n, F.lit(depth))
+    # sequence(1, 0) would COUNT DOWN ([1, 0]); guard the empty path.
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.concat(F.lit("/"), F.concat_ws("/", F.slice(parts, 1, i))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def facet_terms_agg(
+    matched: DataFrame,
+    path_col: str,
+    depth: int | None = None,
+    size: int | None = None,
+    sub_aggs: list[MetricAgg] | None = None,
+) -> DataFrame:
+    """C7 hierarchical variant: per-level rollup counts over facet paths.
+
+    A doc with path '/lang/rust' lands in BOTH the '/lang' and
+    '/lang/rust' buckets (ancestor rollup — tantivy's facet counting
+    semantics), so parent counts are the sum of their subtree without a
+    second pass: the prefix explode IS the rollup. Output column:
+    ``facet``; ordering/top-N identical to :func:`terms_agg`.
+    """
+    exploded = matched.withColumn(
+        "facet", F.explode(facet_prefixes_col(F.col(path_col), depth))
+    )
+    return terms_agg(exploded, "facet", size=size, sub_aggs=sub_aggs)
 
 
 def nested_terms_agg(

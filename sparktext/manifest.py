@@ -336,12 +336,8 @@ def append_documents(
         st = json.load(f)
     n_buckets = st["n_buckets"]
     build_id = uuid.uuid4().hex[:12]
-    if os.path.exists(os.path.join(index_dir, "positions")):
-        raise NotImplementedError(
-            "append_documents does not yet extend a positions index — "
-            "appending without positions would silently break phrase "
-            "queries over the new docs; rebuild with build_persistent_index"
-        )
+    positions_path = os.path.join(index_dir, "positions")
+    has_positions = os.path.exists(positions_path)
     doc_meta0 = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     agg0 = doc_meta0.agg(
         F.max("doc_id").alias("maxd"), F.max("segment_id").alias("maxs"),
@@ -369,14 +365,30 @@ def append_documents(
     ).withColumn("group_id", F.lit(g)).persist()
 
     t0 = time.time()
+    from sparktext.build import _TOKENS_SCHEMA_POS, term_bucket_col
+
     tokens = (
         corpus.select("doc_id", "segment_id", "content")
         .repartition(num_segments, "segment_id")
-        .mapInPandas(_tokenize_partition, schema=_TOKENS_SCHEMA)
+        .mapInPandas(
+            lambda it: _tokenize_partition(it, with_positions=has_positions),
+            schema=_TOKENS_SCHEMA_POS if has_positions else _TOKENS_SCHEMA,
+        )
         .persist()
     )
     posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
     meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+    if has_positions:
+        # Extend the phrase index for the new group exactly like
+        # build_persistent_index does — phrase queries over appended docs
+        # must equal a from-scratch positions build (asserted in tests).
+        pos = (
+            posting_rows.select("segment_id", "term", "doc_id", "positions")
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+            .withColumn("group_id", F.lit(g))
+        )
+        _append(pos, positions_path, ["group_id", "term_bucket"])
+        posting_rows = posting_rows.drop("positions")
     blocks = (
         encode_posting_blocks(posting_rows, n_buckets)
         .withColumn("group_id", F.lit(g))
@@ -404,7 +416,8 @@ def append_documents(
     ).collect()[0]["fp"]
     man_row = spark.createDataFrame(
         [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id,
-          "complete", int(st["num_segments"] + num_segments), int(g + 1), False)],
+          "complete", int(st["num_segments"] + num_segments), int(g + 1),
+          bool(has_positions))],
         "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
         "build_id string, status string, num_segments int, num_groups int, "
         "with_positions boolean",

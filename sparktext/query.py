@@ -188,8 +188,8 @@ def _alive(index, df: DataFrame) -> DataFrame:
     return df
 
 
-def phrase_docs(index, phrase_terms: list[str]) -> DataFrame:
-    """B6 PhraseQuery: docs containing the exact term sequence.
+def phrase_docs(index, phrase_terms: list[str], slop: int = 0) -> DataFrame:
+    """B6 PhraseQuery: docs containing the term sequence.
 
     Requires a positions index (``build_index(with_positions=True)``).
     Position-list intersection with offset alignment, entirely JVM-side:
@@ -197,6 +197,14 @@ def phrase_docs(index, phrase_terms: list[str]) -> DataFrame:
     count is the phrase frequency, scored BM25-style with the SUMMED idf
     of the phrase terms (tantivy's PhraseWeight builds one Bm25Weight
     over all terms) and the doc's fieldnorm.
+
+    ``slop`` generalizes exact adjacency to a windowed match (tantivy's
+    PhraseQuery slop): an anchor position p0 of the first term matches
+    iff every later term i has some position p_i with
+    ``|p_i - p0 - i| <= slop``; phrase_tf = number of matching anchors.
+    slop=0 reduces to exact adjacency (and keeps the cheaper
+    array_intersect plan); a transposed pair costs 2, matching the
+    published phrase-slop convention.
     """
     if index.positions is None:
         raise ValueError("index built without positions; use with_positions=True")
@@ -219,10 +227,29 @@ def phrase_docs(index, phrase_terms: list[str]) -> DataFrame:
         # UNARY lambda required: F.transform treats a 2nd param as the index
         return lambda x: x - F.lit(offset)
 
-    inter = F.element_at(F.col("pmap"), phrase_terms[0])
-    for i, t in enumerate(phrase_terms[1:], start=1):
-        shifted = F.transform(F.element_at(F.col("pmap"), t), _shift(i))
-        inter = F.array_intersect(inter, shifted)
+    if slop == 0 or len(phrase_terms) == 1:
+        inter = F.element_at(F.col("pmap"), phrase_terms[0])
+        for i, t in enumerate(phrase_terms[1:], start=1):
+            shifted = F.transform(F.element_at(F.col("pmap"), t), _shift(i))
+            inter = F.array_intersect(inter, shifted)
+    else:
+        def _near_fn(offset: int, p0):
+            # closure FACTORY: the inner lambda must stay unary (a
+            # default-arg like `off=offset` adds a parameter, which
+            # pyspark maps to the higher-order function's arity).
+            def fn(p):
+                return F.abs(p - p0 - F.lit(offset)) <= F.lit(slop)
+
+            return fn
+
+        def _anchor_ok(p0):
+            cond = None
+            for i, t in enumerate(phrase_terms[1:], start=1):
+                c = F.exists(F.element_at(F.col("pmap"), t), _near_fn(i, p0))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        inter = F.filter(F.element_at(F.col("pmap"), phrase_terms[0]), _anchor_ok)
     cand = per_doc.withColumn("phrase_tf", F.size(inter)).filter(F.col("phrase_tf") > 0)
 
     from sparktext.score import B, K1, _decoded_norm_col

@@ -119,6 +119,38 @@ def tokenize_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return row_idx[order], toks[order]
 
 
+def ngram_tokens(
+    text: str, min_gram: int, max_gram: int, prefix_only: bool = False
+) -> list[str]:
+    """Character n-grams of the input, per tantivy's documented
+    NgramTokenizer behavior: for each start position, every gram length
+    in [min_gram, max_gram] that fits — 'hello' with (2, 3) yields
+    he, hel, el, ell, ll, llo, lo; ``prefix_only`` keeps start=0 only
+    (edge-gram, the autocomplete shape)."""
+    if min_gram < 1 or max_gram < min_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+    text = text or ""
+    n = len(text)
+    starts = (0,) if prefix_only else range(n)
+    return [
+        text[s : s + ln]
+        for s in starts
+        for ln in range(min_gram, max_gram + 1)
+        if s + ln <= n
+    ]
+
+
+def facet_tokens(path: str) -> list[str]:
+    """tantivy FacetTokenizer: a facet path emits every ancestor prefix —
+    '/lang/rust' -> ['/lang', '/lang/rust'] — so an ordinary inverted
+    index over these tokens answers subtree queries by exact term match.
+    The Spark aggregation twin is
+    :func:`sparktext.aggs.facet_prefixes_col` (same prefixes, column
+    expression)."""
+    parts = [p for p in (path or "").strip("/").split("/") if p]
+    return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+
+
 @dataclass
 class TokenizerPipeline:
     """A2 pluggable pipeline: default tokenizer + optional filters.
@@ -127,6 +159,11 @@ class TokenizerPipeline:
     filters: ``stopwords`` (set of tokens to drop, applied after lowercase)
     and ``ascii_fold`` (strip combining marks via NFKD). Scoring parity uses
     the default instance — custom pipelines are for user-defined fields.
+
+    ``ngram=(min, max)`` swaps the word tokenizer for the character
+    NgramTokenizer (tantivy A2): grams are emitted from the RAW text (no
+    word split), then the filter chain applies; ``ngram_prefix_only``
+    keeps edge-grams only.
     """
 
     long_limit: int = LONG_TOKEN_LIMIT
@@ -134,6 +171,8 @@ class TokenizerPipeline:
     stopwords: frozenset[str] = field(default_factory=frozenset)
     ascii_fold: bool = False
     stem: str | None = None  # e.g. "english": Snowball stemming (A2)
+    ngram: tuple[int, int] | None = None
+    ngram_prefix_only: bool = False
 
     def __post_init__(self):
         self._stemmer = None
@@ -169,7 +208,13 @@ class TokenizerPipeline:
                     c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c)
                 )
             )
-        lists = toks.str.findall(TOKEN_RE)
+        if self.ngram is not None:
+            mn, mx = self.ngram
+            lists = toks.map(
+                lambda t: ngram_tokens(t, mn, mx, self.ngram_prefix_only)
+            )
+        else:
+            lists = toks.str.findall(TOKEN_RE)
 
         def _post(ts: list[str]) -> list[str]:
             out = []

@@ -176,3 +176,58 @@ def test_post_filter(micro_index):
     hit_docs = {r["doc_id"] for r in out["hits"].collect()}
     assert hit_docs == {d for d in HEAVY_DOCS if LANG[d] == "rs"}
     assert out["metrics"].collect()[0]["count"] == len(HEAVY_DOCS)
+
+
+def test_terms_agg_multivalued(spark):
+    """C7 over a multi-valued (ArrayType) facet: each doc contributes to
+    every bucket it holds a value for; empty/null arrays to none."""
+    from sparktext.aggs import SumAgg, terms_agg
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], 10), (2, ["b"], 20), (3, [], 30), (4, None, 40)],
+        "doc_id long, tags array<string>, x long",
+    )
+    rows = {
+        r["tags"]: (r["count"], r["sum_x"])
+        for r in terms_agg(df, "tags", size=10, sub_aggs=[SumAgg("x")]).collect()
+    }
+    assert rows == {"b": (2, 30), "a": (1, 10)}
+
+
+def test_terms_agg_multivalued_through_agg_search(spark, micro_index):
+    """The agg_search bucket path auto-explodes array facets too."""
+    from sparktext.aggs import terms_agg
+    from sparktext.query import matched_docs, parse_query
+    from pyspark.sql import functions as F
+
+    m = matched_docs(micro_index, parse_query("heavy")).join(
+        micro_index.doc_meta, "doc_id"
+    )
+    # synthesize tags = [lang, repo]; every matched doc carries both
+    mm = m.withColumn("tags", F.array("lang", "repo"))
+    rows = {r["tags"]: r["count"] for r in terms_agg(mm, "tags", size=None).collect()}
+    n_heavy = len(HEAVY_DOCS)
+    assert sum(rows.values()) == 2 * n_heavy
+    langs = {LANG[d] for d in HEAVY_DOCS}
+    assert langs <= set(rows)
+
+
+def test_facet_terms_agg_rollup(spark):
+    """Hierarchical facet paths: '/a/b' counts into '/a' AND '/a/b'
+    (ancestor rollup); path normalization strips stray slashes; blank
+    paths contribute nothing; depth caps the levels."""
+    from sparktext.aggs import facet_terms_agg
+
+    df = spark.createDataFrame(
+        [(1, "/lang/rust"), (2, "/lang/py"), (3, "lang/rust/"), (4, "/tools"),
+         (5, ""), (6, None), (7, "/lang/rust/macros")],
+        "doc_id long, path string",
+    )
+    rows = {r["facet"]: r["count"] for r in facet_terms_agg(df, "path", size=None).collect()}
+    assert rows == {
+        "/lang": 4, "/lang/rust": 3, "/lang/py": 1, "/tools": 1,
+        "/lang/rust/macros": 1,
+    }
+    # depth=1: only top-level buckets
+    d1 = {r["facet"]: r["count"] for r in facet_terms_agg(df, "path", depth=1, size=None).collect()}
+    assert d1 == {"/lang": 4, "/tools": 1}

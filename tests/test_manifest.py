@@ -195,3 +195,35 @@ def test_geometry_sidecar_survives_first_group_crash(spark, micro_corpus, micro_
     assert idx.stats.num_docs == micro_index.stats.num_docs
     assert spark.read.parquet(f"{crashed}/doc_meta").count() == 12
     assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+
+
+def test_append_extends_positions(spark, micro_corpus, tmpdir):
+    """A12×B6: append_documents on a positions index writes the new
+    group's positions partition — phrase queries over the union equal a
+    from-scratch positions build."""
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+    from sparktext.query import phrase_docs
+
+    full = build_index(
+        spark, micro_corpus, num_segments=2, index_dir=tmpdir + "/full",
+        num_groups=1, with_positions=True,
+    )
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(
+        spark, first, num_segments=2, index_dir=tmpdir + "/inc",
+        num_groups=1, with_positions=True,
+    )
+    idx = append_documents(spark, tmpdir + "/inc", second, num_segments=2)
+    assert idx.positions is not None
+    for phrase in [["apple", "banana"], ["grape", "heavy", "grape"], ["date", "egg"]]:
+        a = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(idx, phrase).collect())
+        b = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(full, phrase).collect())
+        assert a == b and a, phrase
+    man = spark.read.parquet(tmpdir + "/inc/_manifest")
+    assert man.filter("with_positions").count() == 2

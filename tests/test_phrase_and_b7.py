@@ -147,3 +147,54 @@ def test_regex_whole_term_anchoring(micro_index):
     assert regex_docs(micro_index, "appl").count() == 0
     rows = {r["doc_id"] for r in regex_docs(micro_index, "appl.*").collect()}
     assert rows == {d for d, t in DOCS.items() if "apple" in t.split()}
+
+
+def _phrase_slop_expected(phrase, slop):
+    terms = phrase.split()
+    out = {}
+    for d, text in DOCS.items():
+        toks = text.split()
+        pos = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        if any(t not in pos for t in terms):
+            continue
+        tf = sum(
+            1
+            for p0 in pos[terms[0]]
+            if all(
+                any(abs(p - p0 - i) <= slop for p in pos[t])
+                for i, t in enumerate(terms[1:], start=1)
+            )
+        )
+        if tf:
+            out[d] = tf
+    return out
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("apple heavy", 1),    # one-gap window ('apple banana heavy')
+    ("banana apple", 2),   # transposition costs 2
+    ("apple banana", 1),
+    ("egg heavy", 1),
+    ("cherry unique", 3),  # still no co-window
+])
+def test_phrase_slop_matches(pos_index, phrase, slop):
+    from sparktext.query import phrase_docs
+
+    rows = {r["doc_id"] for r in phrase_docs(pos_index, phrase.split(), slop=slop).collect()}
+    assert rows == set(_phrase_slop_expected(phrase, slop)), (phrase, slop)
+    # sanity: the slop window strictly widens the slop=0 match set
+    exact = {r["doc_id"] for r in phrase_docs(pos_index, phrase.split()).collect()}
+    assert exact <= rows
+
+
+def test_phrase_slop_zero_equals_exact(pos_index):
+    from sparktext.query import phrase_docs
+
+    for phrase in ["apple banana", "grape heavy grape", "heavy heavy"]:
+        a = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(pos_index, phrase.split()).collect())
+        b = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in phrase_docs(pos_index, phrase.split(), slop=0).collect())
+        assert a == b, phrase

@@ -100,3 +100,43 @@ def test_tokenize_flat_all_unicode_batch():
         got[int(i)].append(t)
     for i, text in enumerate(rows):
         assert got[i] == tokenize_text(text)
+
+
+def test_ngram_tokenizer_golden():
+    """Mirrors tantivy's documented NgramTokenizer example: 'hello' with
+    (2, 3) -> he, hel, el, ell, ll, llo, lo (position-major order)."""
+    from sparktext.tokenizer import ngram_tokens
+
+    assert ngram_tokens("hello", 2, 3) == ["he", "hel", "el", "ell", "ll", "llo", "lo"]
+    assert ngram_tokens("hello", 2, 3, prefix_only=True) == ["he", "hel"]
+    assert ngram_tokens("ab", 3, 4) == []
+    assert ngram_tokens("", 1, 2) == []
+    assert ngram_tokens(None, 1, 1) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_tokens("x", 0, 2)
+    with _pytest.raises(ValueError):
+        ngram_tokens("x", 3, 2)
+
+
+def test_ngram_pipeline():
+    import pandas as pd
+
+    from sparktext.tokenizer import TokenizerPipeline
+
+    pipe = TokenizerPipeline(ngram=(2, 2), lowercase=True)
+    out = pipe.tokenize(pd.Series(["AbC"]))
+    assert list(out.iloc[0]) == ["ab", "bc"]
+    edge = TokenizerPipeline(ngram=(1, 3), ngram_prefix_only=True, lowercase=False)
+    assert list(edge.tokenize(pd.Series(["Rust"])).iloc[0]) == ["R", "Ru", "Rus"]
+
+
+def test_facet_tokenizer_golden():
+    from sparktext.tokenizer import facet_tokens
+
+    assert facet_tokens("/lang/rust") == ["/lang", "/lang/rust"]
+    assert facet_tokens("lang/rust/") == ["/lang", "/lang/rust"]
+    assert facet_tokens("/") == []
+    assert facet_tokens("") == []
+    assert facet_tokens(None) == []
