@@ -317,6 +317,52 @@ def range_agg(
     return matched.groupBy(key.alias("range_key")).agg(*cols)
 
 
+def _spec_fields(agg: MetricAgg) -> set[str]:
+    """Column names a metric spec reads (conservative superset for SQL
+    predicate strings: every identifier-shaped token)."""
+    import re
+
+    out: set[str] = set()
+    fld = getattr(agg, "field", "")
+    if fld:
+        out.add(fld)
+    pred = getattr(agg, "predicate", "")
+    if pred:
+        out.update(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pred))
+    for sub in getattr(agg, "sub_aggs", ()) or ():
+        out.update(_spec_fields(sub))
+    return out
+
+
+def _needed_meta_columns(
+    doc_meta_cols: list[str],
+    metric_aggs: list[MetricAgg] | None,
+    bucket_aggs: dict | None,
+    post_filter: str | None,
+) -> list[str]:
+    """doc_meta columns the composed aggregation actually reads. The
+    persisted matched set is the per-query cache every branch scans;
+    carrying the full doc_meta row (sha, commit, path — wide strings no
+    agg touches) measurably inflates both the cache write and every
+    branch's cache scan, so prune to the referenced set. Unknown
+    identifiers in SQL predicate strings over-approximate harmlessly
+    (intersected with the real column list)."""
+    import re
+
+    need: set[str] = set()
+    for a in metric_aggs or []:
+        need.update(_spec_fields(a))
+    for sp in (bucket_aggs or {}).values():
+        kind = sp[0]
+        if kind in ("terms", "histogram", "range", "facet"):
+            need.add(sp[1])
+            for sub in (sp[-1] or []):
+                need.update(_spec_fields(sub))
+    if post_filter:
+        need.update(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", post_filter))
+    return [c for c in doc_meta_cols if c == "doc_id" or c in need]
+
+
 def agg_search(
     index,
     query_str: str,
@@ -332,7 +378,8 @@ def agg_search(
 
     ``bucket_aggs``: name -> ("terms", field, size, [subs]) |
     ("histogram", field, interval, offset, [subs]) |
-    ("range", field, edges, [subs]).
+    ("range", field, edges, [subs]) |
+    ("facet", path_field, depth, size, [subs])  (hierarchical rollup).
 
     ``post_filter`` (C9): SQL predicate applied to hits ONLY — every
     aggregation still sees the pre-filter matched set (faceted-search UX).
@@ -357,7 +404,10 @@ def agg_search(
         )
     query = parse_query(query_str)
     matched = matched_docs(index, query, exhaustive=exhaustive, k=k)
-    enriched = matched.join(index.doc_meta, "doc_id").persist()
+    meta_cols = _needed_meta_columns(
+        index.doc_meta.columns, metric_aggs, bucket_aggs, post_filter
+    )
+    enriched = matched.join(index.doc_meta.select(*meta_cols), "doc_id").persist()
 
     hit_src = enriched.filter(post_filter) if post_filter else enriched
     out: dict[str, DataFrame] = {
@@ -376,6 +426,9 @@ def agg_search(
         elif kind == "range":
             _, fld, edges, subs = spec
             out[name] = range_agg(enriched, fld, edges, subs)
+        elif kind == "facet":
+            _, fld, depth, size, subs = spec
+            out[name] = facet_terms_agg(enriched, fld, depth, size, subs)
         else:
             raise ValueError(f"unknown bucket agg kind {kind!r}")
     out["release"] = lambda: enriched.unpersist()

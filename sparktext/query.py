@@ -319,21 +319,51 @@ def _dict_expansion_union(index, dict_cond) -> DataFrame:
     return _alive(index, out)
 
 
+#: search_many strategy auto-switch, by ESTIMATED row volume ratio:
+#: broadcast evaluates ~min(N_docs, Σ_union df) x |queries| rows, but
+#: each is a shuffle-free codegen'd map lookup; the join plan's
+#: Σ_q Σ_{t∈q} df(t) rows all pass through a shuffling groupBy, so its
+#: per-row cost is far higher. Measured on the 200-query shared-vocab
+#: bench batch (2M docs): broadcast/join volume ratio ~20 and broadcast
+#: is ~4x FASTER in wall time — while a 5000-query disjoint-vocabulary
+#: batch has ratio ~5000 and the fan-out is the scale-killer. The gate
+#: therefore switches to join only when the fan-out volume exceeds the
+#: join volume by this factor.
+SEARCH_MANY_JOIN_RATIO = 64
+
+
 def search_many(
     index,
     queries: dict[str, str],
     k: int = 10,
     round_decimals: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Batch search: N queries -> ONE postings pass (B2–B5, B9 fused).
 
     Returns (query_id, doc_id, score) — the top-k of every query, ranked
     per query by (score desc, doc_id asc). The decode scan covers the
-    UNION of all query terms once; per-query fan-out is a broadcast join
-    of decoded postings against the tiny (query_id, term, occur) map;
-    per-query top-k is a window over the matched rows. This amortizes
-    the per-job overhead that dominates single-query latency and turns a
-    query workload into a throughput job — the q/s path at cluster scale.
+    UNION of all query terms once. This amortizes the per-job overhead
+    that dominates single-query latency and turns a query workload into
+    a throughput job — the q/s path at cluster scale.
+
+    Two physical strategies (``strategy``: "auto" | "broadcast" | "join"):
+
+    - **broadcast**: pivot decoded postings into one term->partial map
+      per doc, broadcast the query table, evaluate every query against
+      every doc-map row as codegen'd null-safe lookups. Evaluated rows =
+      |matched docs| x |queries| — unbeatable for small shared-vocabulary
+      batches (3x measured on the 20x10 bench batch), quadratic-shaped
+      for thousands of disjoint queries.
+    - **join**: broadcast-join decoded (doc, term, partial) rows against
+      the (query_id, term, flags) table on the term id — an EQUI-join,
+      so the intermediate is exactly the per-query match volume
+      Σ_q Σ_{t∈q} df(t), then one groupBy(doc, query) applies
+      should/must/must_not semantics. The 100-TB shape: row count never
+      exceeds real matches, no per-doc pivot map materializes.
+
+    ``auto`` picks join above SEARCH_MANY_JOIN_THRESHOLD live queries.
+    Both strategies are result-identical (asserted in tests).
     """
     from pyspark.sql import Window
 
@@ -358,6 +388,15 @@ def search_many(
 
     if not live:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    if strategy == "auto":
+        strategy = _pick_batch_strategy(
+            index.stats.num_docs, stats_map, live, need_terms
+        )
+    if strategy == "join":
+        return _search_many_join(
+            index, live, stats_map, sorted(need_terms), k, round_decimals
+        )
 
     # ONE decode of the union term set -> one row per doc holding a
     # term->partial-score MAP, then a BROADCAST join against the tiny
@@ -437,6 +476,97 @@ def search_many(
         "doc_id", "query_id", score.alias("score")
     )
 
+    grouped = _alive(index, grouped)
+    if round_decimals is not None:
+        grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        grouped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _pick_batch_strategy(
+    num_docs: int, stats_map: dict, live: dict, need_terms: set[str]
+) -> str:
+    """Cost-based broadcast-vs-join call from broadcast-dictionary term
+    stats alone (no extra jobs) — see SEARCH_MANY_JOIN_RATIO."""
+    union_df = sum(stats_map[t]["doc_freq"] for t in need_terms if t in stats_map)
+    bcast_rows = min(num_docs, union_df) * len(live)
+    join_rows = sum(
+        stats_map[t]["doc_freq"]
+        for q in live.values()
+        for t in set(q.scored_terms + q.must_not)
+        if t in stats_map
+    )
+    return "join" if bcast_rows > SEARCH_MANY_JOIN_RATIO * max(join_rows, 1) else "broadcast"
+
+
+def _search_many_join(
+    index,
+    live: dict[str, Query],
+    stats_map: dict,
+    terms: list[str],
+    k: int,
+    round_decimals: int | None,
+) -> DataFrame:
+    """The equi-join batch strategy (see :func:`search_many`).
+
+    Intermediate row count == Σ over (query, term, matching doc) — the
+    true match volume — because decoded postings join the broadcast
+    (query_id, term_id, occur-flags) table on the term id. One
+    groupBy(doc, query) then applies the full boolean semantics:
+    score = Σ partials of scored terms, must satisfied iff the distinct
+    matched must-term count equals the query's must count, must_not
+    excluded via a flag max. No per-doc pivot map, no |docs| x |queries|
+    fan-out — the strategy for thousands of disjoint queries.
+    """
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    term_id = {t: i for i, t in enumerate(terms)}
+    decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
+    tid_pairs = []
+    for t, i in term_id.items():
+        tid_pairs.extend([F.lit(t), F.lit(i)])
+    scored = decoded.select(
+        "doc_id",
+        F.element_at(F.create_map(*tid_pairs), F.col("term")).alias("tid"),
+        bm25_score_col(
+            index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
+        ).alias("partial"),
+    )
+
+    qrows = []
+    mc_rows = []
+    for qid, q in live.items():
+        sc = {term_id[t] for t in q.scored_terms if t in stats_map}
+        mu = {term_id[t] for t in set(q.must)}  # absent-must queries already dropped
+        mn = {term_id[t] for t in set(q.must_not) if t in stats_map}
+        mc_rows.append((qid, len(mu)))
+        for tid in sorted(sc | mu | mn):
+            qrows.append((qid, tid, tid in sc, tid in mu, tid in mn))
+    qdf = F.broadcast(spark.createDataFrame(
+        qrows, "query_id string, tid int, is_scored boolean, is_must boolean, is_mn boolean"
+    ))
+    mc = F.broadcast(spark.createDataFrame(mc_rows, "query_id string, n_must int"))
+
+    grouped = (
+        scored.join(qdf, "tid")
+        .groupBy("doc_id", "query_id")
+        .agg(
+            F.sum(F.when(F.col("is_scored"), F.col("partial"))).alias("score"),
+            F.count_distinct(F.when(F.col("is_must"), F.col("tid"))).alias("_mh"),
+            F.max(F.when(F.col("is_mn"), 1).otherwise(0)).alias("_mn"),
+            F.max(F.when(F.col("is_scored"), 1).otherwise(0)).alias("_any"),
+        )
+        .join(mc, "query_id")
+        .filter(
+            (F.col("_any") == 1) & (F.col("_mh") == F.col("n_must")) & (F.col("_mn") == 0)
+        )
+        .select("doc_id", "query_id", "score")
+    )
     grouped = _alive(index, grouped)
     if round_decimals is not None:
         grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))

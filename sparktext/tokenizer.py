@@ -151,6 +151,61 @@ def facet_tokens(path: str) -> list[str]:
     return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
 
 
+#: RE2 split pattern for the Arrow ASCII path: complement of the (ascii,
+#: lowered) token class. Equivalence with TOKEN_RE on pure-ASCII text:
+#: Python's [^\W_] over ASCII is exactly [a-zA-Z0-9]; after doc-level
+#: lowercase (safe for ASCII, see _flat_ascii) tokens are maximal
+#: [a-z0-9]+ runs == the fields left by splitting on [^a-z0-9]+ runs.
+_ASCII_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize_flat_arrow(texts: pd.Series):
+    """Batch tokenize to (row_idx: np.int64 array, tokens: pa.StringArray).
+
+    The build hot path's hot path: on pure-ASCII batches every step runs
+    in Arrow C++ (utf8_lower -> split_pattern_regex -> list_flatten ->
+    length filter) — NO Python token objects are ever materialized, and
+    the returned Arrow buffer is ~6x smaller than an object array of the
+    same tokens (the object path's DRAM traffic is what capped build
+    scaling at 8->32 cores). Non-ASCII rows take the exact
+    split→bytefilter→lower order via :func:`_flat_unicode` and are
+    stitched back in row order, so output equals ``tokenize_flat`` with
+    the strings living in one Arrow array.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = texts.fillna("")
+    vals = t.to_numpy()
+    is_ascii = np.fromiter(map(str.isascii, vals), dtype=bool, count=len(t))
+    all_idx = np.arange(len(t), dtype=np.int64)
+    outs: list[tuple[np.ndarray, pa.Array]] = []
+    if is_ascii.any():
+        sub = vals if is_ascii.all() else vals[is_ascii]
+        arr = pa.array(sub, type=pa.string())
+        sp = pc.split_pattern_regex(pc.utf8_lower(arr), _ASCII_SPLIT_RE)
+        lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+        ridx = np.repeat(all_idx[is_ascii], lens)
+        flat = pc.list_flatten(sp)
+        # splitting yields empty fields at the edges; drop those plus
+        # over-long tokens in one mask (ASCII: bytes == chars).
+        fl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = (fl > 0) & (fl < LONG_TOKEN_LIMIT)
+        if not keep.all():
+            ridx = ridx[keep]
+            flat = flat.filter(pa.array(keep))
+        outs.append((ridx, flat))
+    if not is_ascii.all():
+        ri_u, tok_u = _flat_unicode(t[~is_ascii], all_idx[~is_ascii])
+        outs.append((ri_u, pa.array(tok_u, type=pa.string())))
+    if len(outs) == 1:
+        return outs[0]
+    row_idx = np.concatenate([o[0] for o in outs])
+    toks = pa.concat_arrays([o[1] for o in outs])
+    order = np.argsort(row_idx, kind="stable")  # restore row order
+    return row_idx[order], toks.take(pa.array(order))
+
+
 @dataclass
 class TokenizerPipeline:
     """A2 pluggable pipeline: default tokenizer + optional filters.

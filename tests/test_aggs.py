@@ -231,3 +231,26 @@ def test_facet_terms_agg_rollup(spark):
     # depth=1: only top-level buckets
     d1 = {r["facet"]: r["count"] for r in facet_terms_agg(df, "path", depth=1, size=None).collect()}
     assert d1 == {"/lang": 4, "/tools": 1}
+
+
+def test_agg_search_facet_bucket(spark, micro_corpus, micro_index):
+    """agg_search's 'facet' bucket kind: hierarchical rollup fused into
+    the one-pass plan (and the pruned matched-set cache keeps the path
+    column)."""
+    from sparktext.aggs import agg_search
+
+    out = agg_search(
+        micro_index, "heavy", k=5,
+        bucket_aggs={"by_path": ("facet", "path", 1, None, [])},
+    )
+    rows = {r["facet"]: r["count"] for r in out["by_path"].collect()}
+    out["release"]()
+    # micro paths are 'a/0.py' style -> level-1 facets are /a /b /c
+    from tests.conftest import MICRO_DOCS
+
+    exp = {}
+    for d, _r, p, _c, _l, t, _n in MICRO_DOCS:
+        if "heavy" in t.split():
+            key = "/" + p.split("/")[0]
+            exp[key] = exp.get(key, 0) + 1
+    assert rows == exp

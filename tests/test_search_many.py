@@ -43,3 +43,58 @@ def test_batch_empty_queries(micro_index):
     from sparktext.query import search_many
 
     assert search_many(micro_index, {"a": "zzz", "b": ""}).count() == 0
+
+
+def test_join_strategy_equals_broadcast(spark, micro_index):
+    """The equi-join batch plan must be result-identical to the
+    broadcast fan-out plan on every fixture query shape."""
+    from sparktext.query import search_many
+
+    qs = {
+        "t1": "apple", "t2": "banana cherry", "t3": "+grape cherry",
+        "t4": "apple -banana", "t5": "+heavy +apple -grape",
+        "t6": "nonexistentterm", "t7": "+missingmust apple",
+        "t8": "heavy egg fig",
+    }
+
+    def rows(strategy):
+        out = search_many(micro_index, qs, k=12, round_decimals=9,
+                          strategy=strategy).collect()
+        return sorted((r["query_id"], r["doc_id"], r["score"]) for r in out)
+
+    assert rows("broadcast") == rows("join")
+
+
+def test_auto_strategy_policy():
+    """The cost-based broadcast-vs-join call: shared-vocabulary batches
+    (fan-out volume within SEARCH_MANY_JOIN_RATIO x of join volume) stay
+    on the measured-faster broadcast plan; disjoint-vocabulary thousands
+    (each doc relevant to ~1 query, fan-out ratio ~= |queries|) switch to
+    the equi-join plan whose rows are the true match volume."""
+    from sparktext.query import Query, _pick_batch_strategy
+
+    # 200 shared-vocab queries over 3 common terms: ratio ~ |queries|/3
+    stats = {t: {"doc_freq": 300_000} for t in ("a", "b", "c")}
+    live = {f"q{i}": Query(should=["a", "b", "c"]) for i in range(200)}
+    assert _pick_batch_strategy(2_000_000, stats, live, {"a", "b", "c"}) == "broadcast"
+
+    # 5000 disjoint single-term queries: fan-out = matched x 5000,
+    # join volume = matched -> ratio 5000 >> gate
+    stats2 = {f"t{i}": {"doc_freq": 400} for i in range(5000)}
+    live2 = {f"q{i}": Query(should=[f"t{i}"]) for i in range(5000)}
+    assert _pick_batch_strategy(2_000_000, stats2, live2, set(stats2)) == "join"
+
+
+def test_many_dup_queries_still_correct(spark, micro_index):
+    """auto on a large duplicated batch (whatever plan it picks) must
+    return each query's own correct result."""
+    from sparktext.query import search_many
+
+    many = {f"q{i}": "apple banana" for i in range(80)}
+    out = search_many(micro_index, many, k=3, round_decimals=9)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    single = sorted(got["q0"])
+    assert len(got) == len(many)
+    assert all(sorted(v) == single for v in got.values())

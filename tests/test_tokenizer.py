@@ -140,3 +140,25 @@ def test_facet_tokenizer_golden():
     assert facet_tokens("/") == []
     assert facet_tokens("") == []
     assert facet_tokens(None) == []
+
+
+def test_tokenize_flat_arrow_matches_flat():
+    """The Arrow-native path must be token-for-token identical to
+    tokenize_flat on ASCII, unicode, and mixed batches (incl. empties,
+    over-long tokens, and the split-edge empty fields)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparktext.tokenizer import tokenize_flat, tokenize_flat_arrow
+
+    batches = [
+        pd.Series(["apple banana", "", None, "  x  ", "A_B-c42"]),
+        pd.Series(["Füße im Gras", "plain ascii", "тест gras", "ＡＢ12"]),
+        pd.Series(["x" * 45 + " ok", "tab\tsep\nline", "123 456"]),
+        pd.Series([""] * 3),
+    ]
+    for s in batches:
+        ri_a, tok_a = tokenize_flat_arrow(s)
+        ri_f, tok_f = tokenize_flat(s)
+        assert list(ri_a) == list(ri_f)
+        assert tok_a.to_pylist() == list(tok_f)
