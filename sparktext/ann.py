@@ -131,6 +131,52 @@ def bucket_col(emb: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_emb_col: str = "q_embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Batch ANN: N query vectors -> ONE corpus scan (the throughput
+    shape, mirroring :func:`sparktext.query.search_many`).
+
+    The (small) query table broadcasts; per-(vector, query) cosine is
+    pure codegen'd array arithmetic over the fanned-out rows — corpus
+    norms are computed once per corpus row BEFORE the fan-out; per-query
+    top-k rides WindowGroupLimit's partial per-partition heap, so the
+    only shuffle is the tiny per-query heads. For thousands of queries,
+    pre-filter both sides with :func:`bucket_col` (bucket equi-join)
+    instead of the dense fan-out.
+
+    Returns (query_id, vec_id, cosine), top-k per query ranked by
+    (cosine desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    corpus = df.select(
+        F.col(id_col), _as_double(F.col(emb_col)).alias("_e")
+    ).withColumn("_n", _norm(F.col("_e")))
+    qt = queries.select(
+        F.col(q_id_col), _as_double(F.col(q_emb_col)).alias("_qe")
+    ).withColumn("_qn", _norm(F.col("_qe")))
+    sim = _dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    scored = corpus.join(F.broadcast(qt)).select(
+        q_id_col, id_col, sim.alias("cosine")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     qvec: list[float],

@@ -400,6 +400,16 @@ def queries():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return ann.cosine_pairs(emb, threshold=0.4)
 
+    def ann_batch_q(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(FF.col("vec_id").isin([0, 1, 2])).select(
+            FF.col("vec_id").alias("query_id"),
+            FF.col("embedding").alias("q_embedding"),
+        )
+        return ann.cosine_topk_batch(emb, qs, k=10, round_decimals=6)
+
     return {
         "text_token_counts": token_counts_q,
         "dedup_exact_groups": dedup_exact_q,
@@ -410,6 +420,7 @@ def queries():
         "dedup_ngram_jaccard": jaccard_pairs_q,
         "text_simhash": simhash_q,
         "ann_cosine_top10": ann_cosine_q,
+        "ann_cosine_batch": ann_batch_q,
         "dedup_embedding_pairs": emb_pairs_q,
     }
 
@@ -514,6 +525,17 @@ SELECT doc_id,
       i -> sha256('' || concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
   END AS fingerprint
 FROM tok""",
+        "ann_cosine_batch": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, e.vec_id,
+        ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+          / (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * SQRT(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 6) AS cosine
+      FROM embeddings e, q),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10""",
         "dedup_minhash_pairs": _lsh_pairs_sql(),
         "dedup_ngram_jaccard": jaccard_sql,
         "text_simhash": (

@@ -69,3 +69,26 @@ def test_lsh_topk_contains_near_dups(spark, emb_df):
     assert got[0] == 0
     assert set(got) <= {0, 80, 81} | set(range(82))
     assert 80 in got and 81 in got
+
+
+def test_cosine_topk_batch_matches_single(spark):
+    """Batch ANN must equal N single-query runs exactly."""
+    from pyspark.sql import functions as F
+
+    from sparktext.ann import cosine_topk, cosine_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 3, 7]
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    batch = cosine_topk_batch(emb, qs, k=5, round_decimals=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) == set(qids)
+    for qid in qids:
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], r["cosine"])
+                  for r in cosine_topk(emb, qvec, 5, round_decimals=6).collect()]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == single, qid

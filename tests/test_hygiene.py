@@ -141,3 +141,42 @@ def test_minhash_xxhash64_recall_matches_sha(spark):
         for r in lsh_candidate_pairs(docs, hash_fn="xxhash64").collect()
     }
     assert xxh == xxh2
+
+
+def test_minhash_production_params(spark):
+    """The 128-perm / 16-band production parameterization runs end-to-end
+    on the xxhash64 path and still recalls the seeded near-dups. With
+    rows-per-band=8, P[candidate] = 1-(1-j^8)^16 — near-certain for
+    j>=0.9, so the fixture's highest-similarity pairs must all surface."""
+    from pyspark.sql import functions as F
+
+    from sparktext.textops import (
+        PRODUCTION_MINHASH_BANDS, PRODUCTION_MINHASH_H,
+        lsh_candidate_pairs, shingles_col, tokens_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = docs.select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            sh.toDF("doc_a", "sh_a").crossJoin(sh.toDF("doc_b", "sh_b"))
+            .filter("doc_a < doc_b")
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter("j >= 0.9")
+            .collect()
+        )
+    }
+    assert truth
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            docs, h=PRODUCTION_MINHASH_H, bands=PRODUCTION_MINHASH_BANDS,
+            hash_fn="xxhash64", max_bucket=1000,
+        ).collect()
+    }
+    assert truth <= pairs
