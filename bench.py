@@ -36,7 +36,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from sparktext.aggs import CountAgg, StatsAgg, agg_search
+    from sparktext.aggs import CountAgg, StatsAgg, agg_search, collect_results
     from sparktext.ann import cosine_topk
     from sparktext.build import build_index
     from sparktext.corpus import documents_as_corpus
@@ -99,10 +99,9 @@ def main() -> None:
             bucket_aggs={"by_lang": ("terms", "lang", 5, []),
                          "hist": ("histogram", "n_chars", 100.0, 0.0, [])},
         )
-        release = out.pop("release")
-        for df in out.values():
-            df.collect()
-        release()  # cache hygiene: no growth across repeated queries
+        # one-shot harvest: branches materialize concurrently over the
+        # shared matched-set cache, then release (cache hygiene)
+        collect_results(out)
 
     run("q_agg_fused", fused)
 

@@ -433,3 +433,35 @@ def agg_search(
             raise ValueError(f"unknown bucket agg kind {kind!r}")
     out["release"] = lambda: enriched.unpersist()
     return out
+
+
+def collect_results(out: dict, release: bool = True) -> dict[str, list]:
+    """Materialize every branch of an :func:`agg_search` result dict
+    CONCURRENTLY and return {name: rows}.
+
+    Each branch is its own Spark job; running them from worker threads
+    lets the scheduler overlap them over one shared matched-set cache
+    (Spark job submission is thread-safe), so wall time approaches the
+    slowest branch instead of the sum — the tantivy agg_search call
+    returns all fruits from one pass, and this is the Spark-idiomatic
+    equivalent of that one-shot harvest. ``release=True`` unpersists the
+    matched set afterwards (cache hygiene for long-lived sessions).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    rel = out.get("release")
+    branches = {k: v for k, v in out.items() if k != "release"}
+    rows: dict[str, list] = {}
+    # Materialize the shared cache once through the (cheap) hits branch
+    # before fanning out: concurrent first-touch of an unpopulated cache
+    # can recompute partitions racily instead of sharing them.
+    if "hits" in branches:
+        rows["hits"] = branches.pop("hits").collect()
+    if branches:
+        with ThreadPoolExecutor(max_workers=max(1, len(branches))) as ex:
+            futs = {k: ex.submit(df.collect) for k, df in branches.items()}
+            for k, f in futs.items():
+                rows[k] = f.result()
+    if release and rel is not None:
+        rel()
+    return rows

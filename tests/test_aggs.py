@@ -254,3 +254,25 @@ def test_agg_search_facet_bucket(spark, micro_corpus, micro_index):
             key = "/" + p.split("/")[0]
             exp[key] = exp.get(key, 0) + 1
     assert rows == exp
+
+
+def test_collect_results_parallel_harvest(spark, micro_index):
+    """collect_results: all fruits in one call, identical to sequential
+    collects, cache released afterwards."""
+    from sparktext.aggs import CountAgg, SumAgg, agg_search, collect_results
+
+    def make():
+        return agg_search(
+            micro_index, "heavy", k=3,
+            metric_aggs=[CountAgg(), SumAgg("n_chars")],
+            bucket_aggs={"by_lang": ("terms", "lang", 5, [])},
+        )
+
+    rows = collect_results(make())
+    out = make()
+    release = out.pop("release")
+    seq = {k: df.collect() for k, df in out.items()}
+    release()
+    assert set(rows) == set(seq)
+    for k in seq:
+        assert sorted(map(tuple, rows[k])) == sorted(map(tuple, seq[k])), k
