@@ -255,6 +255,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf_dir)
         return top_k(phrase_docs(idx, ["query", "window"], slop=1), 10, round_decimals=4)
 
+    def search_all(spark, sf_dir):
+        from sparktext.query import all_docs
+
+        idx = _index(spark, sf_dir)
+        return all_docs(idx).orderBy("doc_id")
+
+    def agg_cardinality(spark, sf_dir):
+        from sparktext.aggs import CardinalityAgg
+
+        _, mm = _matched_meta(spark, sf_dir, "spark")
+        return metrics_agg(
+            mm, [CardinalityAgg("repo"), CardinalityAgg("lang")]
+        )
+
     def agg_composed(spark, sf_dir):
         # C13: a tuple of metric collectors in ONE pass.
         _, mm = _matched_meta(spark, sf_dir, "query window")
@@ -291,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_multivalued": agg_terms_multivalued,
         "agg_facet_paths": agg_facet_paths,
         "search_phrase_slop": search_phrase_slop,
+        "search_all": search_all,
+        "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
     }
     out.update(textops.queries())
@@ -491,6 +507,12 @@ b2 AS (SELECT *, DENSE_RANK() OVER (ORDER BY tot DESC, lang ASC) AS rk FROM b1),
 b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo ASC) AS rn2
        FROM b2 WHERE rk <= 3)
 SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
+        "search_all": "SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id",
+        "agg_cardinality": f"""
+WITH {_TOK}, {_MATCHED_SPARK}
+SELECT COUNT(DISTINCT source) AS cardinality_repo,
+       COUNT(DISTINCT lang) AS cardinality_lang
+FROM matched""",
         "agg_terms_multivalued": f"""
 WITH {_TOK}, {_MATCHED_SPARK},
 t AS (SELECT unnest(

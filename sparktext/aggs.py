@@ -130,6 +130,29 @@ class PercentilesAgg(MetricAgg):  # C10
 
 
 @dataclass(frozen=True)
+class CardinalityAgg(MetricAgg):
+    """Distinct-value count over a fast field (Elasticsearch-style
+    cardinality bucket metric; extension beyond the crate's metric set).
+    Exact by default (count_distinct — a full shuffle of the distinct
+    set); ``approx=True`` is the 100-TB path (HyperLogLog++ via
+    approx_count_distinct: bounded sketch state, map-side partials)."""
+
+    field: str = ""
+    approx: bool = False
+    rsd: float = 0.05
+    name: str = ""
+
+    def exprs(self, cond=None):
+        c = _cond(F.col(self.field), cond)
+        fn = (
+            F.approx_count_distinct(c, self.rsd)
+            if self.approx
+            else F.count_distinct(c)
+        )
+        return [fn.alias(self.name or f"cardinality_{self.field}")]
+
+
+@dataclass(frozen=True)
 class FilterAgg(MetricAgg):  # C8 — conditional rewrite, no second scan
     predicate: str = ""  # SQL boolean expression over matched columns
     sub_aggs: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)

@@ -264,6 +264,15 @@ def phrase_docs(index, phrase_terms: list[str], slop: int = 0) -> DataFrame:
     return _alive(index, out)
 
 
+def all_docs(index) -> DataFrame:
+    """B7 AllQuery: every (alive) document, constant score 1.0 —
+    tantivy's AllQuery/ConstScorer. Reads doc_meta (one row per doc, no
+    postings touch); the usual composition target for pure-aggregation
+    searches over the whole corpus."""
+    out = index.doc_meta.select("doc_id").withColumn("score", F.lit(1.0))
+    return _alive(index, out)
+
+
 def term_range_docs(index, lo: str, hi: str, inclusive: bool = False) -> DataFrame:
     """B7 RangeQuery over the term dictionary: docs containing any term in
     [lo, hi) (or [lo, hi] with ``inclusive``). Constant score 1.0 per doc

@@ -276,3 +276,15 @@ def test_collect_results_parallel_harvest(spark, micro_index):
     assert set(rows) == set(seq)
     for k in seq:
         assert sorted(map(tuple, rows[k])) == sorted(map(tuple, seq[k])), k
+
+
+def test_cardinality_agg(matched):
+    from sparktext.aggs import CardinalityAgg, metrics_agg
+
+    row = metrics_agg(
+        matched, [CardinalityAgg("lang"), CardinalityAgg("lang", approx=True, name="c2")]
+    ).collect()[0]
+    exact = len({LANG[d] for d in HEAVY_DOCS})
+    assert row["cardinality_lang"] == exact
+    # HLL++ on 2 distinct values is exact in practice
+    assert row["c2"] == exact

@@ -198,3 +198,15 @@ def test_phrase_slop_zero_equals_exact(pos_index):
         b = sorted((r["doc_id"], round(r["score"], 9))
                    for r in phrase_docs(pos_index, phrase.split(), slop=0).collect())
         assert a == b, phrase
+
+
+def test_all_query(spark, micro_index):
+    from sparktext.query import all_docs
+
+    rows = {r["doc_id"]: r["score"] for r in all_docs(micro_index).collect()}
+    assert set(rows) == set(DOCS)
+    assert set(rows.values()) == {1.0}
+    # tombstones excluded
+    deleted = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    idx2 = micro_index.with_deletes(deleted)
+    assert {r["doc_id"] for r in all_docs(idx2).collect()} == set(DOCS) - {0, 5}
