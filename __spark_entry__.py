@@ -255,6 +255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf_dir)
         return top_k(phrase_docs(idx, ["query", "window"], slop=1), 10, round_decimals=4)
 
+    def search_boost(spark, sf_dir):
+        # B1 clause boost: `spark^2 query` doubles spark's partials.
+        return _hits(spark, sf_dir, "spark^2 query")
+
     def search_all(spark, sf_dir):
         from sparktext.query import all_docs
 
@@ -306,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_facet_paths": agg_facet_paths,
         "search_phrase_slop": search_phrase_slop,
         "search_all": search_all,
+        "search_boost": search_boost,
         "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
     }
@@ -351,7 +356,11 @@ scored AS (
 )"""
 
 
-def _bm25_topk(terms, k=10, must=(), must_not=()):
+def _bm25_topk(terms, k=10, must=(), must_not=(), boosts=None):
+    mult = ""
+    if boosts:
+        arms = " ".join(f"WHEN '{t}' THEN {b}" for t, b in boosts.items())
+        mult = f" * CASE term {arms} ELSE 1.0 END"
     having = ""
     if must:
         mlist = ",".join(f"'{t}'" for t in must)
@@ -365,7 +374,7 @@ def _bm25_topk(terms, k=10, must=(), must_not=()):
             f" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({xlist}))"
         )
     return f"""{_bm25_cte(list(terms))}
-SELECT doc_id, ROUND(SUM(partial), 4) AS score
+SELECT doc_id, ROUND(SUM(partial{mult}), 4) AS score
 FROM scored WHERE 1=1{excl}
 GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
@@ -508,6 +517,7 @@ b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo 
        FROM b2 WHERE rk <= 3)
 SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
         "search_all": "SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id",
+        "search_boost": _bm25_topk(["spark", "query"], boosts={"spark": 2.0}),
         "agg_cardinality": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
 SELECT COUNT(DISTINCT source) AS cardinality_repo,

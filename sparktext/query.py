@@ -33,6 +33,8 @@ class Query:
     should: list[str] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
+    #: per-term score multipliers (tantivy's `term^2` boost); absent = 1.0
+    boosts: dict[str, float] = field(default_factory=dict)
 
     @property
     def scored_terms(self) -> list[str]:
@@ -43,9 +45,17 @@ class Query:
                 out.append(t)
         return out
 
+    @property
+    def has_boosts(self) -> bool:
+        return any(b != 1.0 for b in self.boosts.values())
+
 
 def parse_query(qstr: str) -> Query:
-    """B1: query string -> :class:`Query` AST."""
+    """B1: query string -> :class:`Query` AST.
+
+    Clause syntax: ``+term`` must, ``-term`` must_not, ``term^2.5``
+    boost (score multiplier, tantivy query-parser syntax; applies to
+    every token the clause expands to)."""
     q = Query()
     for clause in (qstr or "").split():
         occur = "should"
@@ -53,8 +63,18 @@ def parse_query(qstr: str) -> Query:
             occur, clause = "must", clause[1:]
         elif clause.startswith("-"):
             occur, clause = "must_not", clause[1:]
+        boost = 1.0
+        if "^" in clause:
+            clause, _, bs = clause.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                clause = f"{clause}^{bs}"  # not a boost; keep raw
         toks = tokenize_text(clause)
         getattr(q, occur).extend(toks)
+        if boost != 1.0:
+            for t in toks:
+                q.boosts[t] = boost
     return q
 
 
@@ -138,6 +158,7 @@ def matched_docs(
         not exhaustive
         and not query.must
         and not query.must_not
+        and not query.has_boosts  # block upper bounds don't carry boosts
         and k
         and candidate_postings >= wand_min_postings
     ):
@@ -154,6 +175,13 @@ def matched_docs(
     partial = bm25_score_col(
         index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
     )
+    if query.has_boosts:
+        pairs = []
+        for t, b in query.boosts.items():
+            pairs.extend([F.lit(t), F.lit(float(b))])
+        partial = partial * F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("term")), F.lit(1.0)
+        )
     if mn_present:
         partial = F.when(F.col("term").isin(mn_present), F.lit(0.0)).otherwise(partial)
     scored = scored.withColumn("partial", partial)
@@ -378,6 +406,15 @@ def search_many(
 
     spark = index.postings.sparkSession
     parsed = {qid: parse_query(qs) for qid, qs in queries.items()}
+    if any(q.has_boosts for q in parsed.values()):
+        # Both batch plans share per-(doc, term) partials ACROSS queries;
+        # per-query boosts would need per-(query, term) multipliers in
+        # the shared stage. Not silently wrong — route boosted queries
+        # through matched_docs.
+        raise NotImplementedError(
+            "search_many does not support boosted clauses (term^N); "
+            "run boosted queries individually via matched_docs/agg_search"
+        )
     all_terms = sorted({t for q in parsed.values() for t in q.scored_terms + q.must_not})
     stats_map = term_stats(index, all_terms)
 

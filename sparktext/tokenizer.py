@@ -198,6 +198,8 @@ def tokenize_flat_arrow(texts: pd.Series):
     if not is_ascii.all():
         ri_u, tok_u = _flat_unicode(t[~is_ascii], all_idx[~is_ascii])
         outs.append((ri_u, pa.array(tok_u, type=pa.string())))
+    if not outs:  # empty batch
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
     if len(outs) == 1:
         return outs[0]
     row_idx = np.concatenate([o[0] for o in outs])

@@ -179,3 +179,29 @@ def test_unicode_corpus_end_to_end(spark):
     assert hits == {0, 2, 3}
     hits_u = {r["doc_id"] for r in matched_docs(idx, parse_query("привет")).collect()}
     assert hits_u == {3}
+
+
+def test_clause_boosts(spark, micro_index):
+    """B1 `term^N` boost: partials of the boosted term scale by N;
+    unboosted queries are unchanged; search_many refuses boosted input
+    rather than silently dropping the boost."""
+    import pytest
+
+    from sparktext.query import matched_docs, parse_query, search_many
+
+    q = parse_query("apple^3 banana")
+    assert q.boosts == {"apple": 3.0}
+    plain = {r["doc_id"]: r["score"]
+             for r in matched_docs(micro_index, parse_query("apple banana")).collect()}
+    boosted = {r["doc_id"]: r["score"]
+               for r in matched_docs(micro_index, q).collect()}
+    apple_only = {r["doc_id"]: r["score"]
+                  for r in matched_docs(micro_index, parse_query("apple")).collect()}
+    assert set(plain) == set(boosted)
+    for d, s in boosted.items():
+        expected = plain[d] + 2.0 * apple_only.get(d, 0.0)
+        assert s == pytest.approx(expected, abs=1e-9), d
+    # non-numeric suffix is a regular token stream, not a boost
+    assert parse_query("c^x").boosts == {}
+    with pytest.raises(NotImplementedError, match="boosted"):
+        search_many(micro_index, {"a": "apple^2"}, k=3).collect()

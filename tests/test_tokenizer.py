@@ -162,3 +162,34 @@ def test_tokenize_flat_arrow_matches_flat():
         ri_f, tok_f = tokenize_flat(s)
         assert list(ri_a) == list(ri_f)
         assert tok_a.to_pylist() == list(tok_f)
+
+
+def test_tokenize_flat_arrow_property_parity():
+    """Property-based parity: arbitrary unicode batches produce identical
+    (row_idx, tokens) through the Arrow path and the object path."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparktext.tokenizer import tokenize_flat, tokenize_flat_arrow
+
+    texts = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=60),
+            st.text(alphabet="abc019 _-.", max_size=40),
+            st.text(alphabet="Füße гραςτ漢字 x", max_size=30),
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(batch):
+        s = pd.Series(batch, dtype="object")
+        ri_a, tok_a = tokenize_flat_arrow(s)
+        ri_f, tok_f = tokenize_flat(s)
+        assert list(ri_a) == list(ri_f)
+        assert tok_a.to_pylist() == list(tok_f)
+
+    check()
