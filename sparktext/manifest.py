@@ -325,7 +325,15 @@ def append_documents(
     term dictionary and stats. Existing segment files are never rewritten;
     results equal a from-scratch build over the union corpus because BM25
     reads only global stats + per-doc norms (asserted in tests). Run
-    :func:`sparktext.merge.merge_segments` afterwards to compact."""
+    :func:`sparktext.merge.merge_segments` afterwards to compact.
+
+    Crash-safety: group ids and base offsets derive from MANIFEST-complete
+    groups and every data write is a dynamic partition overwrite, so a
+    crashed append is repaired by simply re-running it (the retry
+    replaces the orphan partitions under the same group id — asserted in
+    tests). An index left un-retried after a crashed append should not be
+    served: its orphan partitions carry no manifest row and finalize has
+    not seen them."""
     import math
 
     from sparktext.fieldnorm import fieldnorm_to_id
@@ -338,14 +346,29 @@ def append_documents(
     build_id = uuid.uuid4().hex[:12]
     positions_path = os.path.join(index_dir, "positions")
     has_positions = os.path.exists(positions_path)
-    doc_meta0 = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    # Base state comes from the MANIFEST (complete groups only), not from
+    # raw doc_meta maxima: a crash between a previous append's data
+    # writes and its manifest row leaves orphan group partitions, and
+    # deriving g/base_doc from them would mint a fresh group id and
+    # duplicate those docs under new ids. Restricting to manifest-complete
+    # groups makes a retried append recompute the SAME group id, and the
+    # dynamic-overwrite writes below replace the orphans.
+    manifest0 = _read_manifest(spark, index_dir)
+    if manifest0 is None:
+        raise ValueError(f"{index_dir!r} holds no manifest; build it first")
+    max_complete = int(
+        manifest0.filter(F.col("status") == "complete")
+        .agg(F.max("group_id")).collect()[0][0]
+    )
+    doc_meta0 = spark.read.parquet(os.path.join(index_dir, "doc_meta")).filter(
+        F.col("group_id") <= max_complete
+    )
     agg0 = doc_meta0.agg(
         F.max("doc_id").alias("maxd"), F.max("segment_id").alias("maxs"),
-        F.max("group_id").alias("maxg"),
     ).collect()[0]
     base_doc = int(agg0["maxd"]) + 1
     base_seg = int(agg0["maxs"]) + 1
-    g = int(agg0["maxg"]) + 1
+    g = max_complete + 1
 
     if num_segments is None:
         num_segments = max(4, spark.sparkContext.defaultParallelism)
@@ -378,6 +401,12 @@ def append_documents(
     )
     posting_rows = tokens.filter(F.col("kind") == 0).drop("kind")
     meta_rows = tokens.filter(F.col("kind") == 1).select("doc_id", "doc_len")
+    # All group writes use DYNAMIC partition overwrite, not append: a
+    # crash after any data write but before the manifest append leaves
+    # this group's partitions on disk, and the retried append recomputes
+    # the SAME group id (max over doc_meta, which is written last among
+    # the data tables) — overwrite replaces the orphans; plain append
+    # would double every posting row.
     if has_positions:
         # Extend the phrase index for the new group exactly like
         # build_persistent_index does — phrase queries over appended docs
@@ -387,14 +416,14 @@ def append_documents(
             .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
             .withColumn("group_id", F.lit(g))
         )
-        _append(pos, positions_path, ["group_id", "term_bucket"])
+        _overwrite_group(pos, positions_path, ["group_id", "term_bucket"])
         posting_rows = posting_rows.drop("positions")
     blocks = (
         encode_posting_blocks(posting_rows, n_buckets)
         .withColumn("group_id", F.lit(g))
         .sortWithinPartitions("term", "segment_id", "block_id")
     )
-    _append(blocks, os.path.join(index_dir, "postings"), ["group_id", "term_bucket"])
+    _overwrite_group(blocks, os.path.join(index_dir, "postings"), ["group_id", "term_bucket"])
 
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(fieldnorm_to_id(s.to_numpy()).astype(np.int32)), "int"
@@ -408,7 +437,7 @@ def append_documents(
             *(["n_chars"] if "n_chars" in corpus.columns else []),
         )
     )
-    _append(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
+    _overwrite_group(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
 
     fp = corpus.agg(
         F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))

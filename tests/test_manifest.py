@@ -227,3 +227,36 @@ def test_append_extends_positions(spark, micro_corpus, tmpdir):
         assert a == b and a, phrase
     man = spark.read.parquet(tmpdir + "/inc/_manifest")
     assert man.filter("with_positions").count() == 2
+
+
+def test_append_crash_retry_no_duplicates(spark, micro_corpus, micro_index, tmpdir):
+    """Crash between an append's data writes and its manifest row: the
+    retried append must reuse the SAME group id and overwrite the orphan
+    partitions — no duplicate docs, no duplicate postings."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=tmpdir, num_groups=1)
+    append_documents(spark, tmpdir, second, num_segments=2)
+    # reproduce the crash state: appended group's data on disk, but the
+    # manifest and stats rolled back to the pre-append state
+    man = spark.read.parquet(tmpdir + "/_manifest")
+    pre = man.orderBy("group_id").limit(1)
+    pre_rows = pre.collect()
+    spark.createDataFrame(pre_rows, man.schema).write.mode("overwrite").parquet(
+        tmpdir + "/_manifest_new"
+    )
+    shutil.rmtree(tmpdir + "/_manifest")
+    os.rename(tmpdir + "/_manifest_new", tmpdir + "/_manifest")
+
+    idx = append_documents(spark, tmpdir, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+    assert spark.read.parquet(tmpdir + "/doc_meta").count() == 12
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+    assert _topk(idx, "apple banana") == _topk(micro_index, "apple banana")
