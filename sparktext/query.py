@@ -4,8 +4,11 @@ Query syntax (a small subset of tantivy's public query language):
 ``spark fast`` — two SHOULD terms (OR/union, scores summed);
 ``+spark data`` — ``spark`` is MUST (required), ``data`` SHOULD;
 ``-slow`` — MUST_NOT (excluded, contributes no score);
+``spark^2`` — clause boost (score multiplier);
 terms are run through the same default tokenizer as indexing (A1), so a
-clause may expand to several tokens (each inheriting the clause occur).
+clause may expand to several tokens (each inheriting the clause occur
+and boost; a term both boosted and unboosted across clauses takes the
+last clause's boost — the engine scores each term once, not per clause).
 
 Matching semantics (tantivy BooleanQuery):
 - only SHOULD clauses: a doc matches if it contains >= 1 should term;
