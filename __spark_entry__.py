@@ -525,10 +525,10 @@ SELECT COUNT(DISTINCT source) AS cardinality_repo,
 FROM matched""",
         "agg_terms_multivalued": f"""
 WITH {_TOK}, {_MATCHED_SPARK},
-t AS (SELECT unnest(
+t AS (SELECT unnest(list_distinct(
         [lang, source] || CASE WHEN n_chars > 300 THEN ['long']
                           ELSE CAST([] AS VARCHAR[]) END
-      ) AS tag, n_chars
+      )) AS tag, n_chars
       FROM matched)
 SELECT tag, COUNT(*) AS count,
        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars

@@ -191,13 +191,15 @@ def terms_agg(
 
     MULTI-VALUED facets (the crate's terms_agg over multi-valued fast
     fields; SURVEY §1.3): an ``ArrayType`` field column is exploded first
-    — each doc contributes to every bucket it holds a value for (the
-    Elasticsearch/tantivy contract), and docs with empty/null arrays
-    contribute to none. The explode is a narrow map feeding the same
-    partial+final hash aggregation.
+    — each doc contributes ONCE to every bucket it holds a value for (the
+    Elasticsearch/tantivy SortedSetDocValues contract: a value duplicated
+    within one doc's array still counts that doc once, hence the
+    ``array_distinct`` before the explode), and docs with empty/null
+    arrays contribute to none. The explode is a narrow map feeding the
+    same partial+final hash aggregation.
     """
     if dict(matched.dtypes).get(field, "").startswith("array"):
-        matched = matched.withColumn(field, F.explode(field))
+        matched = matched.withColumn(field, F.explode(F.array_distinct(field)))
     cols = [F.count(F.lit(1)).alias("count")]
     for sub in sub_aggs or []:
         cols.extend(sub.exprs())
@@ -221,7 +223,11 @@ def facet_prefixes_col(path_col: Column, depth: int | None = None) -> Column:
     ``/lang/rust``): every ancestor prefix of the path up to ``depth``
     levels — '/lang/rust' -> ['/lang', '/lang/rust']. Pure column
     expression (split + transform + slice); empty/blank paths yield [].
+    ``depth`` must be >= 1 when given: F.sequence(1, 0) counts DOWN, so a
+    non-positive depth would silently emit bogus ['/','level-1'] buckets.
     """
+    if depth is not None and depth < 1:
+        raise ValueError(f"facet depth must be >= 1, got {depth}")
     parts = F.split(F.regexp_replace(path_col, r"^/+|/+$", ""), "/")
     parts = F.filter(parts, lambda x: x != "")
     n = F.size(parts)

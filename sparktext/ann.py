@@ -93,17 +93,38 @@ def lsh_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share a hyperplane-sign
     bucket (equi-join on bucket id — shuffles by bucket, never a cross
     join), then exact cosine filters. Recall < 1 by construction
     (P[same bucket] = (1 - theta/pi)^n_planes); raise recall with fewer
-    planes or multiple tables."""
+    planes or multiple tables.
+
+    ``max_bucket`` (the 100-TB skew escape, mirroring
+    :func:`sparktext.textops.lsh_candidate_pairs`): a bucket of n vectors
+    joins into n² candidate rows, so a corpus with many identical or
+    near-identical embeddings collapses into one sign-pattern bucket and
+    goes quadratic. Buckets larger than ``max_bucket`` are dropped — a
+    documented recall trade; members of a dropped bucket are
+    overwhelmingly EXACT duplicates, which the scale pipeline must remove
+    (exact dedup on a vector hash) BEFORE near-dup LSH. ALWAYS set it on
+    real corpora (e.g. 1000)."""
     dim = len(df.select(emb_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col), F.col(emb_col), bucket_col(F.col(emb_col), planes).alias("_b")
     )
+    if max_bucket is not None:
+        # Per-bucket size via one small groupBy; mega-buckets are dropped
+        # BEFORE the pair join ever expands them. The size table is
+        # bucket-cardinality-sized (<= 2^n_planes rows) — broadcast.
+        keep = (
+            bucketed.groupBy("_b").count()
+            .filter(F.col("count") <= max_bucket)
+            .select("_b")
+        )
+        bucketed = bucketed.join(F.broadcast(keep), "_b")
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), "_b")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), "_b")
     ea, eb = _as_double(F.col("e_a")), _as_double(F.col("e_b"))

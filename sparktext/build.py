@@ -109,6 +109,20 @@ class Index:
             ).persist()
         return self._headers
 
+    def unpersist(self) -> None:
+        """Release every cache this index holds (postings, doc_meta,
+        term_dict, positions, tombstones, the header mini-cache). For
+        benchmarks and multi-index sessions: a retired index's caches
+        otherwise keep competing for executor storage memory with the
+        live one's."""
+        for df in (self.doc_meta, self.postings, self.term_dict,
+                   self.positions, self.deleted, self._headers):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
     def with_deletes(self, doc_ids_df: DataFrame) -> "Index":
         """A11: mark docs deleted (tombstones; postings untouched)."""
         new_del = doc_ids_df.select("doc_id").distinct()

@@ -318,6 +318,7 @@ def append_documents(
     index_dir: str,
     new_corpus: DataFrame,
     num_segments: int | None = None,
+    force: bool = False,
 ) -> Index:
     """Incremental commit (tantivy ``add_document``+``commit`` ≈ appending
     segments): index new docs as FRESH segments after the current ones,
@@ -327,13 +328,25 @@ def append_documents(
     reads only global stats + per-doc norms (asserted in tests). Run
     :func:`sparktext.merge.merge_segments` afterwards to compact.
 
-    Crash-safety: group ids and base offsets derive from MANIFEST-complete
-    groups and every data write is a dynamic partition overwrite, so a
-    crashed append is repaired by simply re-running it (the retry
-    replaces the orphan partitions under the same group id — asserted in
-    tests). An index left un-retried after a crashed append should not be
-    served: its orphan partitions carry no manifest row and finalize has
-    not seen them."""
+    Crash-safety: re-running the append after a crash repairs the index
+    in BOTH crash windows (asserted in tests):
+
+    - crash BEFORE the manifest commit: group ids and base offsets derive
+      from MANIFEST-complete groups and every data write is a dynamic
+      partition overwrite, so the retry recomputes the SAME group id and
+      replaces the orphan partitions;
+    - crash AFTER the manifest commit but before ``_finalize`` (the
+      group's data + manifest row are durable, term_dict/stats are
+      stale): the retry detects that the new corpus' content fingerprint
+      and row count equal the LAST complete group's and runs the
+      (idempotent) finalize repair instead of appending the same docs
+      again under a new group id.
+
+    The fingerprint check means appending the exact same corpus twice in
+    a row is read as a crashed retry; pass ``force=True`` for the rare
+    intentional double-append. An index left un-retried after a crashed
+    append should not be served: either its orphans carry no manifest row
+    or its term_dict predates the last group."""
     import math
 
     from sparktext.fieldnorm import fieldnorm_to_id
@@ -387,6 +400,41 @@ def append_documents(
         ((F.col("doc_id") - F.lit(base_doc)) / F.lit(seg_size)).cast("int") + F.lit(base_seg),
     ).withColumn("group_id", F.lit(g)).persist()
 
+    fp = corpus.agg(
+        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
+        .cast("long").alias("fp")
+    ).collect()[0]["fp"]
+    last = (
+        manifest0.filter(F.col("status") == "complete")
+        .orderBy(F.desc("group_id"))
+        .select("n_docs", "input_fingerprint", "num_segments", "num_groups")
+        .first()
+    )
+    if (
+        not force
+        and last is not None
+        and int(last["n_docs"]) == n_new
+        and int(last["input_fingerprint"]) == int(fp or 0)
+    ):
+        # The same corpus is already committed as the last complete group
+        # — this is a retry after a crash in the post-commit window
+        # (manifest row durable, term_dict/stats possibly stale). Repair
+        # by re-running the idempotent finalize; do NOT append the docs
+        # again under a new group id.
+        _finalize(spark, index_dir, n_buckets, int(last["num_segments"]), build_id)
+        geometry_path = os.path.join(index_dir, "geometry.json")
+        if os.path.exists(geometry_path):
+            with open(geometry_path) as f:
+                geo = json.load(f)
+            geo["num_segments"] = int(last["num_segments"])
+            geo["num_groups"] = int(last["num_groups"])
+            with open(geometry_path, "w") as f:
+                json.dump(geo, f)
+        corpus.unpersist()
+        for c in _id_caches:
+            c.unpersist()
+        return load_index(spark, index_dir)
+
     t0 = time.time()
     from sparktext.build import _TOKENS_SCHEMA_POS, term_bucket_col
 
@@ -439,10 +487,6 @@ def append_documents(
     )
     _overwrite_group(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
 
-    fp = corpus.agg(
-        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
-        .cast("long").alias("fp")
-    ).collect()[0]["fp"]
     man_row = spark.createDataFrame(
         [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id,
           "complete", int(st["num_segments"] + num_segments), int(g + 1),

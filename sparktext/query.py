@@ -231,8 +231,16 @@ def phrase_docs(index, phrase_terms: list[str], slop: int = 0) -> DataFrame:
 
     ``slop`` generalizes exact adjacency to a windowed match (tantivy's
     PhraseQuery slop): an anchor position p0 of the first term matches
-    iff every later term i has some position p_i with
-    ``|p_i - p0 - i| <= slop``; phrase_tf = number of matching anchors.
+    iff the later slots can be assigned DISTINCT positions p_i with
+    ``|p_i - p0 - i| <= slop`` (injective per term, so the phrase
+    ['x','x'] never matches a doc holding a single 'x' — Lucene/tantivy
+    sloppy-phrase slots each consume their own position). Injectivity is
+    decided exactly via Hall's condition per repeated term: for every
+    subset S of that term's slots, the doc must hold >= |S| positions
+    inside the union of S's windows (phrases are short, so the 2^c-1
+    subset conditions stay a handful of codegen'd size/filter exprs;
+    positions of different terms are disjoint, so cross-term assignment
+    decomposes per term). phrase_tf = number of matching anchors.
     slop=0 reduces to exact adjacency (and keeps the cheaper
     array_intersect plan); a transposed pair costs 2, matching the
     published phrase-slop convention.
@@ -264,19 +272,50 @@ def phrase_docs(index, phrase_terms: list[str], slop: int = 0) -> DataFrame:
             shifted = F.transform(F.element_at(F.col("pmap"), t), _shift(i))
             inter = F.array_intersect(inter, shifted)
     else:
-        def _near_fn(offset: int, p0):
+        from itertools import combinations
+
+        # term -> its slot offsets within the phrase (anchor slot = 0).
+        slots: dict[str, list[int]] = {}
+        for i, t in enumerate(phrase_terms):
+            slots.setdefault(t, []).append(i)
+
+        def _window_fn(offsets: list[int], p0):
             # closure FACTORY: the inner lambda must stay unary (a
             # default-arg like `off=offset` adds a parameter, which
             # pyspark maps to the higher-order function's arity).
+            # Slot 0 is the anchor itself — its "window" is exactly p0.
             def fn(p):
-                return F.abs(p - p0 - F.lit(offset)) <= F.lit(slop)
+                cond = None
+                for off in offsets:
+                    c = (p == p0) if off == 0 else (
+                        F.abs(p - p0 - F.lit(off)) <= F.lit(slop)
+                    )
+                    cond = c if cond is None else (cond | c)
+                return cond
 
             return fn
 
         def _anchor_ok(p0):
             cond = None
-            for i, t in enumerate(phrase_terms[1:], start=1):
-                c = F.exists(F.element_at(F.col("pmap"), t), _near_fn(i, p0))
+            for t, offs in slots.items():
+                ps = F.element_at(F.col("pmap"), t)
+                if offs == [0]:
+                    continue  # the anchor slot is satisfied by p0 itself
+                if len(offs) == 1:
+                    c = F.exists(ps, _window_fn(offs, p0))
+                else:
+                    # Hall's condition over this term's slots: every slot
+                    # subset needs that many distinct positions in its
+                    # windows' union. The {0} subset is trivially met.
+                    c = None
+                    for r in range(1, len(offs) + 1):
+                        for sub in combinations(offs, r):
+                            if sub == (0,):
+                                continue
+                            cc = F.size(
+                                F.filter(ps, _window_fn(list(sub), p0))
+                            ) >= F.lit(len(sub))
+                            c = cc if c is None else (c & cc)
                 cond = c if cond is None else (cond & c)
             return cond
 
@@ -402,22 +441,23 @@ def search_many(
       should/must/must_not semantics. The 100-TB shape: row count never
       exceeds real matches, no per-doc pivot map materializes.
 
-    ``auto`` picks join above SEARCH_MANY_JOIN_THRESHOLD live queries.
-    Both strategies are result-identical (asserted in tests).
+    ``auto`` compares the two ESTIMATED row volumes from broadcast term
+    stats (fan-out = min(N_docs, Σ_union df) x |queries| vs join =
+    Σ_q Σ_t df(t)) and picks join only when the fan-out volume exceeds
+    the join volume by ``SEARCH_MANY_JOIN_RATIO`` — the join plan's
+    shuffled groupBy rows cost far more each than the broadcast plan's
+    codegen'd map lookups. Both strategies are result-identical
+    (asserted in tests).
     """
     from pyspark.sql import Window
 
     spark = index.postings.sparkSession
     parsed = {qid: parse_query(qs) for qid, qs in queries.items()}
-    if any(q.has_boosts for q in parsed.values()):
-        # Both batch plans share per-(doc, term) partials ACROSS queries;
-        # per-query boosts would need per-(query, term) multipliers in
-        # the shared stage. Not silently wrong — route boosted queries
-        # through matched_docs.
-        raise NotImplementedError(
-            "search_many does not support boosted clauses (term^N); "
-            "run boosted queries individually via matched_docs/agg_search"
-        )
+    # Boosted clauses (term^N): both batch plans share per-(doc, term)
+    # partials ACROSS queries, so boosts ride as per-(query, term)
+    # multipliers applied AFTER the shared stage — a parallel boost
+    # vector in the broadcast query table / a boost column in the join
+    # query table. Unboosted batches keep the leaner expression tree.
     all_terms = sorted({t for q in parsed.values() for t in q.scored_terms + q.must_not})
     stats_map = term_stats(index, all_terms)
 
@@ -478,28 +518,37 @@ def search_many(
     doc_maps = scored.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("tid", "partial"))).alias("pm")
     )
+    boosted = any(q.has_boosts for q in live.values())
     lists = {
         qid: (
             [term_id[t] for t in q.scored_terms if t in stats_map],
+            [float(q.boosts.get(t, 1.0)) for t in q.scored_terms if t in stats_map],
             sorted(term_id[t] for t in set(q.must)),
             sorted(term_id[t] for t in set(q.must_not) if t in stats_map),
         )
         for qid, q in live.items()
     }
     w_t = max(len(v[0]) for v in lists.values())
-    w_m = max((len(v[1]) for v in lists.values()), default=0)
-    w_n = max((len(v[2]) for v in lists.values()), default=0)
+    w_m = max((len(v[2]) for v in lists.values()), default=0)
+    w_n = max((len(v[3]) for v in lists.values()), default=0)
 
-    def _pad(xs, width):
-        return xs + [None] * (width - len(xs))
+    def _pad(xs, width, fill=None):
+        return xs + [fill] * (width - len(xs))
 
     qrows = [
-        (qid, *_pad(ts, w_t), *_pad(ms, w_m), *_pad(ns, w_n))
-        for qid, (ts, ms, ns) in lists.items()
+        (
+            qid,
+            *_pad(ts, w_t),
+            *(_pad(bs, w_t, 1.0) if boosted else ()),
+            *_pad(ms, w_m),
+            *_pad(ns, w_n),
+        )
+        for qid, (ts, bs, ms, ns) in lists.items()
     ]
     schema = ", ".join(
         ["query_id string"]
         + [f"t{i} int" for i in range(w_t)]
+        + ([f"b{i} double" for i in range(w_t)] if boosted else [])
         + [f"m{j} int" for j in range(w_m)]
         + [f"n{l} int" for l in range(w_n)]
     )
@@ -515,6 +564,8 @@ def search_many(
         hit = _lk(f"t{i}")
         match_any = hit.isNotNull() if match_any is None else (match_any | hit.isNotNull())
         part = F.coalesce(hit, F.lit(0.0))
+        if boosted:
+            part = part * F.col(f"b{i}")
         score = part if score is None else (score + part)
     cond = match_any
     for j in range(w_m):
@@ -587,6 +638,7 @@ def _search_many_join(
         ).alias("partial"),
     )
 
+    id_term = {i: t for t, i in term_id.items()}
     qrows = []
     mc_rows = []
     for qid, q in live.items():
@@ -595,9 +647,14 @@ def _search_many_join(
         mn = {term_id[t] for t in set(q.must_not) if t in stats_map}
         mc_rows.append((qid, len(mu)))
         for tid in sorted(sc | mu | mn):
-            qrows.append((qid, tid, tid in sc, tid in mu, tid in mn))
+            qrows.append((
+                qid, tid, tid in sc, tid in mu, tid in mn,
+                float(q.boosts.get(id_term[tid], 1.0)),
+            ))
     qdf = F.broadcast(spark.createDataFrame(
-        qrows, "query_id string, tid int, is_scored boolean, is_must boolean, is_mn boolean"
+        qrows,
+        "query_id string, tid int, is_scored boolean, is_must boolean, "
+        "is_mn boolean, boost double",
     ))
     mc = F.broadcast(spark.createDataFrame(mc_rows, "query_id string, n_must int"))
 
@@ -605,7 +662,9 @@ def _search_many_join(
         scored.join(qdf, "tid")
         .groupBy("doc_id", "query_id")
         .agg(
-            F.sum(F.when(F.col("is_scored"), F.col("partial"))).alias("score"),
+            F.sum(
+                F.when(F.col("is_scored"), F.col("partial") * F.col("boost"))
+            ).alias("score"),
             F.count_distinct(F.when(F.col("is_must"), F.col("tid"))).alias("_mh"),
             F.max(F.when(F.col("is_mn"), 1).otherwise(0)).alias("_mn"),
             F.max(F.when(F.col("is_scored"), 1).otherwise(0)).alias("_any"),

@@ -345,10 +345,43 @@ def _simhash_sql(table: str, sha_fn: str, bits: int = SIMHASH_BITS) -> str:
     return f"SELECT doc_id, ({combined}) AS simhash FROM {table} GROUP BY doc_id"
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "sha256",
+) -> DataFrame:
     """tf-weighted SimHash fingerprint (default 32 bits, non-negative in
-    an int64). Computed entirely in Spark SQL expressions."""
+    an int64). Computed entirely in Spark SQL expressions.
+
+    ``hash_fn='sha256'`` is the DuckDB-oracle twin (shared SQL template,
+    parity by construction). ``hash_fn='xxhash64'`` is the PRODUCTION
+    path, mirroring :func:`minhash_signatures`: bit b of the term hash is
+    ``(xxhash64(term) >>> b) & 1`` — pure integer ops instead of a
+    sha256-hex nibble walk — and the per-(doc, term) tf pre-aggregation
+    is FUSED away: summing ±1 per token OCCURRENCE equals summing ±tf
+    per distinct term, so the whole fingerprint is ONE groupBy(doc_id)
+    (one shuffle instead of two; the sha plan's second exchange and its
+    32 sha2 calls per row both disappear). The two hash families yield
+    different fingerprints but the same locality property (pinned in
+    tests via hamming-distance ordering)."""
     spark = docs.sparkSession
+    if hash_fn == "xxhash64":
+        toks = docs.select(
+            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+        )
+        h = F.xxhash64("term")
+        combined = None
+        for b in range(bits):
+            vote = F.sum(
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            )
+            col = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+            combined = col if combined is None else (combined + col)
+        return toks.groupBy("doc_id").agg(combined.alias("simhash"))
+    if hash_fn != "sha256":
+        raise ValueError(f"hash_fn must be 'sha256' or 'xxhash64', got {hash_fn!r}")
     tf = (
         docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")

@@ -288,3 +288,36 @@ def test_cardinality_agg(matched):
     assert row["cardinality_lang"] == exact
     # HLL++ on 2 distinct values is exact in practice
     assert row["c2"] == exact
+
+
+def test_terms_agg_multivalued_distinct_within_doc(spark):
+    """A value duplicated WITHIN one doc's array counts that doc ONCE —
+    the Elasticsearch/tantivy SortedSetDocValues contract (round-3
+    advisory: raw explode double-counted the doc)."""
+    from sparktext.aggs import SumAgg, terms_agg
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"], 10), (2, ["b", "b"], 20)],
+        "doc_id long, tags array<string>, x long",
+    )
+    rows = {
+        r["tags"]: (r["count"], r["sum_x"])
+        for r in terms_agg(df, "tags", size=10, sub_aggs=[SumAgg("x")]).collect()
+    }
+    assert rows == {"a": (1, 10), "b": (2, 30)}
+
+
+def test_facet_depth_validation(spark):
+    """depth <= 0 must raise, not silently emit bogus '/' buckets
+    (F.sequence(1, 0) counts DOWN)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparktext.aggs import facet_prefixes_col
+
+    with pytest.raises(ValueError, match="depth"):
+        facet_prefixes_col(F.lit("/a/b"), depth=0)
+    with pytest.raises(ValueError, match="depth"):
+        facet_prefixes_col(F.lit("/a/b"), depth=-1)
+    df = spark.range(1).select(facet_prefixes_col(F.lit("/a/b"), depth=1).alias("p"))
+    assert df.collect()[0]["p"] == ["/a"]

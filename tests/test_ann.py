@@ -92,3 +92,35 @@ def test_cosine_topk_batch_matches_single(spark):
         single = [(r["vec_id"], r["cosine"])
                   for r in cosine_topk(emb, qvec, 5, round_decimals=6).collect()]
         assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == single, qid
+
+
+def test_lsh_cosine_pairs_mega_bucket_cap(spark, emb_df):
+    """The 100-TB skew escape: 1000 identical embeddings collapse into
+    one sign-pattern bucket; with max_bucket set, that bucket is dropped
+    BEFORE the pair join can go quadratic, while distinct near-dups in
+    other buckets still come back."""
+    from sparktext.ann import lsh_cosine_pairs
+
+    rows = emb_df.collect()
+    # the duplicate block is the NEGATION of vector 0: every hyperplane
+    # sign flips, so its bucket is disjoint from vector 0's bucket and
+    # the planted (0, 80)/(0, 81) near-dups are never collateral damage
+    v0 = rows[0]["embedding"]
+    dup = [(1000 + i, [float(-x) for x in v0]) for i in range(1000)]
+    big = emb_df.union(
+        spark.createDataFrame(dup, "vec_id long, embedding array<float>")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_pairs(big, 0.9, n_planes=4, max_bucket=50).collect()
+    }
+    # the mega-bucket of identical vectors is dropped wholesale
+    assert not any(a >= 1000 and b >= 1000 for a, b in got)
+    # distinct near-dups in healthy buckets survive
+    assert (0, 80) in got and (0, 81) in got
+    # uncapped, the identical block WOULD pair up (sanity of the fixture)
+    some = (
+        lsh_cosine_pairs(big.filter("vec_id >= 1000 and vec_id < 1010"), 0.9, n_planes=4)
+        .count()
+    )
+    assert some == 45  # 10 choose 2

@@ -183,8 +183,8 @@ def test_unicode_corpus_end_to_end(spark):
 
 def test_clause_boosts(spark, micro_index):
     """B1 `term^N` boost: partials of the boosted term scale by N;
-    unboosted queries are unchanged; search_many refuses boosted input
-    rather than silently dropping the boost."""
+    unboosted queries are unchanged; search_many applies per-(query,
+    term) boosts identically under BOTH batch strategies."""
     import pytest
 
     from sparktext.query import matched_docs, parse_query, search_many
@@ -203,5 +203,22 @@ def test_clause_boosts(spark, micro_index):
         assert s == pytest.approx(expected, abs=1e-9), d
     # non-numeric suffix is a regular token stream, not a boost
     assert parse_query("c^x").boosts == {}
-    with pytest.raises(NotImplementedError, match="boosted"):
-        search_many(micro_index, {"a": "apple^2"}, k=3).collect()
+
+    # Batch boosts: a boosted + an unboosted query in one batch, each
+    # equal to its per-query matched_docs result, on both strategies.
+    batch = {"a": "apple^3 banana", "b": "apple banana"}
+    want = {
+        qid: {
+            r["doc_id"]: r["score"]
+            for r in matched_docs(micro_index, parse_query(qs)).collect()
+        }
+        for qid, qs in batch.items()
+    }
+    for strat in ("broadcast", "join"):
+        got: dict[str, dict] = {qid: {} for qid in batch}
+        for r in search_many(micro_index, batch, k=100, strategy=strat).collect():
+            got[r["query_id"]][r["doc_id"]] = r["score"]
+        for qid in batch:
+            assert set(got[qid]) == set(want[qid]), (strat, qid)
+            for d, s in got[qid].items():
+                assert s == pytest.approx(want[qid][d], abs=1e-9), (strat, qid, d)

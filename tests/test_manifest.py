@@ -260,3 +260,39 @@ def test_append_crash_retry_no_duplicates(spark, micro_corpus, micro_index, tmpd
     assert spark.read.parquet(tmpdir + "/doc_meta").count() == 12
     assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
     assert _topk(idx, "apple banana") == _topk(micro_index, "apple banana")
+
+
+def test_append_retry_after_postcommit_crash(spark, micro_corpus, micro_index, tmpdir):
+    """Crash AFTER the manifest commit but BEFORE finalize: the group's
+    data + manifest row are durable but term_dict/stats are stale. A
+    retried append must detect the committed fingerprint and re-run the
+    idempotent finalize — NOT append the same docs again; force=True is
+    the intentional-double-add escape."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=tmpdir, num_groups=1)
+    with open(os.path.join(str(tmpdir), "stats.json")) as f:
+        stale_stats = f.read()
+    append_documents(spark, tmpdir, second, num_segments=2)
+    # reproduce the crash state: roll stats.json back to pre-append
+    # (finalize "never ran"); manifest + group data stay durable
+    with open(os.path.join(str(tmpdir), "stats.json"), "w") as f:
+        f.write(stale_stats)
+
+    idx = append_documents(spark, tmpdir, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+    assert spark.read.parquet(f"{tmpdir}/_manifest").count() == 2
+    assert spark.read.parquet(f"{tmpdir}/doc_meta").count() == 12
+    assert _topk(idx, "heavy") == _topk(micro_index, "heavy")
+    assert _topk(idx, "apple banana") == _topk(micro_index, "apple banana")
+
+    idx3 = append_documents(spark, tmpdir, second, num_segments=2, force=True)
+    assert idx3.stats.num_docs == 18
+    assert spark.read.parquet(f"{tmpdir}/_manifest").count() == 3

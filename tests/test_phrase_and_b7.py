@@ -149,6 +149,30 @@ def test_regex_whole_term_anchoring(micro_index):
     assert rows == {d for d, t in DOCS.items() if "apple" in t.split()}
 
 
+def _anchor_matches(pos, terms, p0, slop):
+    """Exact injective reference: can the later slots be assigned
+    DISTINCT positions within their windows (anchor consumes p0)?
+    Brute-force backtracking — the oracle for the engine's Hall-condition
+    plan."""
+    used = {terms[0]: {p0}}
+
+    def bt(slots):
+        if not slots:
+            return True
+        i, t = slots[0]
+        for p in pos[t]:
+            if p in used.setdefault(t, set()):
+                continue
+            if abs(p - p0 - i) <= slop:
+                used[t].add(p)
+                if bt(slots[1:]):
+                    return True
+                used[t].remove(p)
+        return False
+
+    return bt([(i, t) for i, t in enumerate(terms) if i > 0])
+
+
 def _phrase_slop_expected(phrase, slop):
     terms = phrase.split()
     out = {}
@@ -159,14 +183,7 @@ def _phrase_slop_expected(phrase, slop):
             pos.setdefault(t, []).append(i)
         if any(t not in pos for t in terms):
             continue
-        tf = sum(
-            1
-            for p0 in pos[terms[0]]
-            if all(
-                any(abs(p - p0 - i) <= slop for p in pos[t])
-                for i, t in enumerate(terms[1:], start=1)
-            )
-        )
+        tf = sum(1 for p0 in pos[terms[0]] if _anchor_matches(pos, terms, p0, slop))
         if tf:
             out[d] = tf
     return out
@@ -178,6 +195,11 @@ def _phrase_slop_expected(phrase, slop):
     ("apple banana", 1),
     ("egg heavy", 1),
     ("cherry unique", 3),  # still no co-window
+    # repeated-term phrases: each slot must consume a DISTINCT position
+    ("heavy heavy", 1),    # doc 2's [1,2,3] run; NOT single-heavy docs
+    ("apple apple", 1),    # only doc 1 ('apple apple')
+    ("unique unique", 3),  # doc 8 holds ONE 'unique' -> no match
+    ("grape grape grape", 1),  # doc 7: grape at [0,2,3]
 ])
 def test_phrase_slop_matches(pos_index, phrase, slop):
     from sparktext.query import phrase_docs
