@@ -28,6 +28,7 @@ from sparktext.fieldnorm import norm_values_sql
 K1, B = 1.2, 0.75
 
 _INDEX_CACHE: dict[str, object] = {}
+_FACET_CACHE: dict[str, object] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str):
@@ -41,6 +42,17 @@ def _index(spark: SparkSession, sf_dir: str):
             spark, corpus, num_segments=16, with_positions=True
         )
     return _INDEX_CACHE[key]
+
+
+def _facet_index(spark: SparkSession, sf_dir: str):
+    """The text index + an indexed '/lang/repo' facet field."""
+    key = sf_dir.rstrip("/")
+    if key not in _FACET_CACHE:
+        from sparktext.build import with_facets
+
+        fcol = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("repo"))
+        _FACET_CACHE[key] = with_facets(_index(spark, sf_dir), fcol)
+    return _FACET_CACHE[key]
 
 
 def _matched(spark, sf_dir, qstr):
@@ -265,6 +277,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index(spark, sf_dir)
         return all_docs(idx).orderBy("doc_id")
 
+    def search_facet_subtree(spark, sf_dir):
+        # Indexed facet field: '/en' subtree = one exact-term lookup in
+        # the facet postings (ancestor rollup happens at INDEX time).
+        from sparktext.query import facet_subtree_docs
+
+        return facet_subtree_docs(_facet_index(spark, sf_dir), "/en").orderBy("doc_id")
+
+    def search_batch_boosted(spark, sf_dir):
+        # term^N boosts inside a BATCH: per-(query, term) multipliers ride
+        # the shared-partial plans (both strategies result-identical).
+        from sparktext.query import search_many
+
+        idx = _index(spark, sf_dir)
+        qs = {"bb1": "spark^2 query", "bb2": "spark query",
+              "bb3": "+join filter^3"}
+        return search_many(idx, qs, k=10, round_decimals=4)
+
     def agg_cardinality(spark, sf_dir):
         from sparktext.aggs import CardinalityAgg
 
@@ -311,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_slop": search_phrase_slop,
         "search_all": search_all,
         "search_boost": search_boost,
+        "search_facet_subtree": search_facet_subtree,
+        "search_batch_boosted": search_batch_boosted,
         "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
     }
@@ -518,6 +549,19 @@ b3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count DESC, repo 
 SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
         "search_all": "SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id",
         "search_boost": _bm25_topk(["spark", "query"], boosts={"spark": 2.0}),
+        "search_facet_subtree": (
+            "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en' "
+            "ORDER BY doc_id"
+        ),
+        "search_batch_boosted": " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+            for qid, sql in [
+                ("bb1", _bm25_topk(["spark", "query"], boosts={"spark": 2.0})),
+                ("bb2", _bm25_topk(["spark", "query"])),
+                ("bb3", _bm25_topk(["join", "filter"], must=["join"],
+                                   boosts={"filter": 3.0})),
+            ]
+        ),
         "agg_cardinality": f"""
 WITH {_TOK}, {_MATCHED_SPARK}
 SELECT COUNT(DISTINCT source) AS cardinality_repo,

@@ -94,6 +94,9 @@ class Index:
     positions: DataFrame | None = None  # segment_id, term, doc_id, positions
     deleted: DataFrame | None = None  # doc_id
     _headers: DataFrame | None = None  # lazy block-header mini-cache
+    #: optional facet postings (tantivy `facet` field): same block codec
+    #: as ``postings`` but terms are '/a/b' ancestor paths; see with_facets
+    facet_postings: DataFrame | None = None
 
     def block_headers(self) -> DataFrame:
         """Block headers WITHOUT the binary payload columns, persisted on
@@ -116,7 +119,8 @@ class Index:
         otherwise keep competing for executor storage memory with the
         live one's."""
         for df in (self.doc_meta, self.postings, self.term_dict,
-                   self.positions, self.deleted, self._headers):
+                   self.positions, self.deleted, self._headers,
+                   self.facet_postings):
             if df is not None:
                 try:
                     df.unpersist()
@@ -132,7 +136,7 @@ class Index:
             doc_meta=self.doc_meta, postings=self.postings,
             term_dict=self.term_dict, stats=self.stats,
             n_buckets=self.n_buckets, positions=self.positions,
-            deleted=new_del.persist(),
+            deleted=new_del.persist(), facet_postings=self.facet_postings,
         )
 
 
@@ -646,3 +650,61 @@ def build_index(
     stats = IndexStats(num_docs=n_docs, total_tokens=int(total_tokens))
     return Index(doc_meta=doc_meta, postings=postings, term_dict=term_dict,
                  stats=stats, n_buckets=n_buckets, positions=positions)
+
+
+def with_facets(
+    index: Index,
+    facet_col,
+    depth: int | None = None,
+    index_dir: str | None = None,
+) -> Index:
+    """Index a facet field (tantivy's ``Facet`` type; SURVEY §2 A2/C7
+    query-side complement): hierarchical '/a/b' paths become exact TERMS
+    in a facet postings table built through the SAME A4 block-codec
+    encode as text postings.
+
+    Every ancestor prefix of a doc's facet path is indexed (rollup AT
+    INDEX TIME — tantivy stores facet ords the same way), so a
+    '/lang/rust' SUBTREE query is a single exact-term lookup: no LIKE
+    scan over doc_meta, partition-pruned by term_bucket exactly like a
+    term query. ``facet_col`` is a Column over ``index.doc_meta`` (e.g.
+    ``F.concat(F.lit('/'), F.col('lang'), F.lit('/'), F.col('repo'))``).
+
+    Facet terms score constant 1.0 (tantivy multi-term ConstScorer), so
+    tf=1 and doc_len=1 placeholders feed the codec; text BM25 statistics
+    are untouched — the facet table is separate from ``postings`` and
+    never pollutes avgdl/idf.
+
+    ``index_dir``: also write the table (partitioned by term_bucket,
+    sorted by term within partitions — same file-pruning story as
+    persisted postings); ``load_index`` picks it up on reload.
+    """
+    from sparktext.aggs import facet_prefixes_col  # local: import cycle
+
+    rows = (
+        index.doc_meta.select(
+            "doc_id", "segment_id",
+            F.explode(facet_prefixes_col(facet_col, depth)).alias("term"),
+        )
+        .withColumn("tf", F.lit(1))
+        .withColumn("doc_len", F.lit(1))
+    )
+    fp = encode_posting_blocks(rows, index.n_buckets)
+    if index_dir is not None:
+        import os
+
+        (fp.repartition("term_bucket")
+           .sortWithinPartitions("term", "segment_id", "block_id")
+           .write.mode("overwrite").partitionBy("term_bucket")
+           .parquet(os.path.join(index_dir, "facet_postings")))
+        fp = index.doc_meta.sparkSession.read.parquet(
+            os.path.join(index_dir, "facet_postings")
+        )
+    else:
+        fp = fp.persist()
+    return Index(
+        doc_meta=index.doc_meta, postings=index.postings,
+        term_dict=index.term_dict, stats=index.stats,
+        n_buckets=index.n_buckets, positions=index.positions,
+        deleted=index.deleted, facet_postings=fp,
+    )

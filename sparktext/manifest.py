@@ -521,6 +521,10 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     positions = (
         spark.read.parquet(pos_path) if os.path.exists(pos_path) else None
     )
+    facet_path = os.path.join(index_dir, "facet_postings")
+    facet_postings = (
+        spark.read.parquet(facet_path) if os.path.exists(facet_path) else None
+    )
     return Index(
         doc_meta=spark.read.parquet(os.path.join(index_dir, "doc_meta")),
         postings=spark.read.parquet(os.path.join(index_dir, "postings")),
@@ -528,4 +532,5 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         stats=IndexStats(num_docs=st["num_docs"], total_tokens=st["total_tokens"]),
         n_buckets=st["n_buckets"],
         positions=positions,
+        facet_postings=facet_postings,
     )

@@ -7,8 +7,14 @@ Query syntax (a small subset of tantivy's public query language):
 ``spark^2`` — clause boost (score multiplier);
 terms are run through the same default tokenizer as indexing (A1), so a
 clause may expand to several tokens (each inheriting the clause occur
-and boost; a term both boosted and unboosted across clauses takes the
-last clause's boost — the engine scores each term once, not per clause).
+and boost). DOCUMENTED DIVERGENCE (pinned in
+test_build_and_search.py::test_duplicate_term_boost_semantics): a term
+appearing in SEVERAL clauses is scored ONCE, with the last EXPLICIT
+boost winning (an unboosted repeat does not reset an earlier boost);
+tantivy scores each clause separately and sums, so `apple^2 apple`
+scores 3x apple there and 2x here. Reachable only by duplicate-term
+queries; per-clause additive scoring would force per-clause rows
+through the shared (doc, term) partial stage for no mainstream gain.
 
 Matching semantics (tantivy BooleanQuery):
 - only SHOULD clauses: a doc matches if it contains >= 1 should term;
@@ -159,15 +165,16 @@ def matched_docs(
     candidate_postings = sum(stats_map[t]["doc_freq"] for t in scored_present)
     if (
         not exhaustive
-        and not query.must
-        and not query.must_not
-        and not query.has_boosts  # block upper bounds don't carry boosts
         and k
         and candidate_postings >= wand_min_postings
+        # ub * boost bounds the boosted partial only for positive boosts
+        and all(b > 0 for b in query.boosts.values())
     ):
-        from sparktext.score import wand_candidate_blocks
+        from sparktext.score import wand_blocks_for_query
 
-        blocks = wand_candidate_blocks(index, scored_present, k, stats_map)
+        # SubqueryAlias marker: visible in the analyzed plan (asserted in
+        # tests), stripped by the optimizer — zero runtime cost.
+        blocks = wand_blocks_for_query(index, query, k, stats_map).alias("wand_pruned")
     else:
         # ONE decode scan covers scored AND must_not terms: exclusion
         # terms contribute no score (partial zeroed) but flag the doc for
@@ -340,6 +347,31 @@ def all_docs(index) -> DataFrame:
     postings touch); the usual composition target for pure-aggregation
     searches over the whole corpus."""
     out = index.doc_meta.select("doc_id").withColumn("score", F.lit(1.0))
+    return _alive(index, out)
+
+
+def facet_subtree_docs(index, facet_path: str) -> DataFrame:
+    """Facet subtree query (tantivy ``TermQuery`` on a Facet field): all
+    alive docs whose facet path lies in the ``facet_path`` subtree,
+    constant score 1.0.
+
+    Because :func:`sparktext.build.with_facets` indexes every ANCESTOR
+    prefix of each doc's facet path, a subtree query is ONE exact term
+    lookup in the facet postings — partition-pruned by term_bucket like
+    any term query, never a LIKE/prefix scan. Rows are unique by
+    construction (one (doc, prefix) posting per doc per level), so no
+    distinct/shuffle is needed after decode.
+    """
+    if index.facet_postings is None:
+        raise ValueError("index has no facet field; call with_facets first")
+    from sparktext.build import term_bucket_col
+
+    norm = "/" + facet_path.strip("/")
+    blocks = index.facet_postings.filter(
+        (F.col("term_bucket") == term_bucket_col(F.lit(norm), index.n_buckets))
+        & (F.col("term") == norm)
+    )
+    out = _decode_postings(blocks).select("doc_id").withColumn("score", F.lit(1.0))
     return _alive(index, out)
 
 

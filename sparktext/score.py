@@ -109,92 +109,292 @@ def block_ub_col(index, stats_map) -> Column:
     return idf_c * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
 
 
-def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:
-    """Phase-1+2 block pruning; returns the surviving block rows, LAZILY.
+#: Driver-side bound table gate: the per-(segment, term) max-ub table is
+#: collected and inlined as literal map lookups when it has at most this
+#: many rows (segments x query terms — a query-sized lookup, same class
+#: as the term_stats collect). Beyond it, the distributed pivot +
+#: broadcast-join plan takes over. The literal path removes TWO AQE
+#: stage materializations (the seg-bounds groupBy exchange and its
+#: broadcast) from WAND's fixed cost — the round-3 verdict's reason the
+#: pruning plan never repaid itself below ~24M postings.
+WAND_DRIVER_BOUNDS_MAX = 4096
 
-    Fully declarative: θ is a 1-row DataFrame (k-th best exact partial
-    sum over the per-term seed blocks) cross-broadcast-joined into the
-    survivor filter as a scalar — no collect, no persist, no extra driver
-    job. The entire WAND query (seed scoring -> θ -> bound filter ->
-    survivor decode -> BM25 -> top-k) executes as ONE Spark job, the same
-    count as the exhaustive path; the seed/bounds subtrees are
-    header-level (128x smaller than postings) and broadcast-sized.
+
+def _boost_mult_col(boosts: dict[str, float], term_col: Column) -> Column:
+    """Per-term positive boost multiplier as a literal map (1.0 default)."""
+    pairs = []
+    for t, b in boosts.items():
+        if b != 1.0:
+            pairs.extend([F.lit(t), F.lit(float(b))])
+    if not pairs:
+        return F.lit(1.0)
+    return F.coalesce(F.element_at(F.create_map(*pairs), term_col), F.lit(1.0))
+
+
+def _seed_key_cond(hdr: DataFrame, k: int):
+    """Literal filter selecting the few highest-ub blocks per term.
+
+    The keys are tiny (seeds_per_term x |terms| rows, collected from the
+    header mini-cache) so an isin over a fused key string beats a
+    broadcast join by one whole exchange materialization.
     """
-    from sparktext.query import postings_for_terms  # local import: cycle
-
-    if stats_map is None:
-        stats_map = term_stats(index, terms)
-    present = [t for t in terms if t in stats_map]
-    buckets = sorted({stats_map[t]["term_bucket"] for t in present})
-
-    # All header-level math (seed selection, per-segment bounds) runs on
-    # the block-header mini-cache — NOT through the payload-bearing
-    # postings cache, which these subtrees would otherwise re-scan once
-    # each per query. Only two payload scans remain: the seed fetch and
-    # the survivor decode.
-    hdr = index.block_headers().filter(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
-    ).withColumn("_ub", block_ub_col(index, stats_map))
-
     seeds_per_term = max(1, math.ceil(k / 128)) + 1
     w = Window.partitionBy("term").orderBy(
         F.desc("_ub"), F.asc("segment_id"), F.asc("block_id")
     )
-    seed_keys = (
+    seed_rows = (
         hdr.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= seeds_per_term)
         .select("segment_id", "term", "block_id")
+        .collect()
     )
+    keys = [f"{r['segment_id']}|{r['term']}|{r['block_id']}" for r in seed_rows]
+    return F.concat_ws(
+        "|", F.col("segment_id"), F.col("term"), F.col("block_id")
+    ).isin(keys)
 
-    # Phase 1: exact partial sums over the seed blocks -> θ as a 1-row
-    # DataFrame. θ = k-th best seed total when >= k seed docs exist, else
-    # 0 (prune nothing). A valid lower bound on the final k-th best.
+
+def _theta_local(index, stats_map, boosts, rows, k: int) -> float:
+    """θ computed on the DRIVER from collected seed-block payloads:
+    decode with the local codec, score with the same BM25 formula in
+    numpy, return the k-th best per-doc partial sum (0 when fewer than k
+    seed docs — prune nothing). Bounded work: the caller collects at most
+    seeds_per_term x |terms| block rows."""
+    if not rows:
+        return 0.0
+    import numpy as np
+    import pandas as pd
+
     from sparktext import codec
 
-    blocks = postings_for_terms(index, present, stats_map)
-    seed_blocks = blocks.join(
-        F.broadcast(seed_keys), ["segment_id", "term", "block_id"]
-    )
-    theta_df = (
-        seed_blocks.select("segment_id", "term", "count", "first_doc",
-                           "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
-        .mapInPandas(
-            lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
-            schema="segment_id int, term string, doc_id long, tf long, norm_id long",
-        )
-        .withColumn("partial", bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")))
-        .groupBy("doc_id").agg(F.sum("partial").alias("s"))
-        .orderBy(F.desc("s")).limit(k)
-        .agg(
-            F.when(F.count("*") >= k, F.min("s")).otherwise(F.lit(0.0)).alias("_theta")
-        )
+    dec = codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in rows]))
+    if len(dec) == 0:
+        return 0.0
+    idf_map = {t: s["idf"] * boosts.get(t, 1.0) for t, s in stats_map.items()}
+    idf = dec["term"].map(idf_map).to_numpy(dtype=np.float64)
+    tf = dec["tf"].to_numpy(dtype=np.float64)
+    dl = np.asarray(FIELDNORM_TABLE, dtype=np.float64)[
+        dec["norm_id"].to_numpy(dtype=np.int64)
+    ]
+    avgdl = float(index.stats.avg_len)
+    part = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    sums = pd.Series(part).groupby(dec["doc_id"].to_numpy()).sum()
+    if len(sums) < k:
+        return 0.0
+    return float(np.sort(sums.to_numpy())[-k])
+
+
+def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:
+    """Should-only entry point (kept for the bench counters and older
+    call sites) — see :func:`wand_blocks_for_query` for the general
+    must/must_not/boost-aware pruning."""
+    from sparktext.query import Query  # local import: cycle
+
+    return wand_blocks_for_query(index, Query(should=list(terms)), k, stats_map)
+
+
+def wand_blocks_for_query(index, query, k: int, stats_map=None) -> DataFrame:
+    """Block-max pruning for a full boolean query; returns the block rows
+    the scorer must decode, LAZILY.
+
+    Plan shape: ONE header-cache job collects the per-(segment, term)
+    bound table AND the seed block keys together (bounded by
+    :data:`WAND_DRIVER_BOUNDS_MAX` rows — query-sized, the same class of
+    driver action as the term_stats lookup); for pure-should queries a
+    second tiny job fetches the few seed payload blocks so θ becomes a
+    LITERAL, and the main query job then has the exhaustive plan's exact
+    stage count over ~1% of the blocks. Pieces:
+
+    - **θ seed**: with MUST clauses, the seed set is ALL blocks of the
+      must (+ must_not) terms — they must be decoded anyway, and the
+      k-th best boosted must-partial sum over docs passing the boolean
+      filter is a valid lower bound of the final k-th best score (should
+      partials only ADD); θ rides as a 1-row DataFrame broadcast into
+      the survivor filter. Without must, the seeds are the few
+      highest-ub blocks per scored term (classic block-max seeding,
+      here the per-(term, segment) top blocks from the bounds collect),
+      decoded ON THE DRIVER with the local codec → θ literal; must_not
+      seeds are decoded distributed so excluded docs can't inflate θ.
+    - **bounds**: per-(segment, term) max block ubs (boost-scaled),
+      inlined as literal maps (zero exchanges); geometries past
+      WAND_DRIVER_BOUNDS_MAX fall back to the distributed pivot +
+      broadcast plan with a distributed θ.
+    - **pruning applies only to should-only terms**: keep block B of
+      term t in segment s iff ub(B) + Σ_{t'≠t, scored} max_ub(t', s) >=
+      θ. Must/must_not blocks always pass (the boolean filter needs
+      them). Correctness: a pruned block's docs have true score below θ
+      <= k-th best, and every true top-k doc keeps ALL its blocks (its
+      real score >= θ certifies every per-term bound test), so results
+      are identical to exhaustive — asserted incl. must/boost variants
+      in tests/test_wand.py.
+
+    Boosts must be POSITIVE (the caller gates): ub * boost bounds the
+    boosted partial only for boost > 0.
+    """
+    from sparktext import codec
+    from sparktext.query import postings_for_terms  # local import: cycle
+
+    if stats_map is None:
+        stats_map = term_stats(index, query.scored_terms + query.must_not)
+    scored = [t for t in query.scored_terms if t in stats_map]
+    must = sorted({t for t in query.must if t in stats_map})
+    mn = sorted({t for t in query.must_not if t in stats_map})
+    should_only = [t for t in scored if t not in set(must)]
+    boosts = {t: float(query.boosts.get(t, 1.0)) for t in scored}
+
+    all_terms = sorted(set(scored) | set(mn))
+    blocks = postings_for_terms(index, all_terms, stats_map)
+    if not should_only:
+        return blocks  # pure-must query: nothing prunable
+
+    buckets = sorted({stats_map[t]["term_bucket"] for t in scored})
+    hdr = index.block_headers().filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(scored)
+    ).withColumn(
+        "_ub", block_ub_col(index, stats_map) * _boost_mult_col(boosts, F.col("term"))
     )
 
-    # Phase 2: per-(segment, term) max bounds from block headers; keep
-    # block B of term t in segment s iff ub(B) + Σ_{t'≠t} max_ub(t', s)
-    # >= θ. The bound test alone is safe for EVERY block (any pruned
-    # block's docs have true score < θ, and every true top-k doc's blocks
-    # pass), so no seed carve-out is needed. The per-term maxes are
-    # pivoted into ONE groupBy(segment) (query terms are few), so the
-    # bound table costs a single small exchange.
-    uniq = sorted(stats_map)
-    seg_bounds = hdr.groupBy("segment_id").agg(*[
-        F.coalesce(
-            F.max(F.when(F.col("term") == t, F.col("_ub"))), F.lit(0.0)
-        ).alias(f"_ub{i}")
-        for i, t in enumerate(uniq)
-    ])
-    tot = sum(F.col(f"_ub{i}") for i in range(len(uniq)))
-    my_ub = None
-    for i, t in enumerate(uniq):
-        cond = F.col("term") == t
-        my_ub = F.when(cond, F.col(f"_ub{i}")) if my_ub is None else my_ub.when(cond, F.col(f"_ub{i}"))
-    survivors = (
-        blocks.withColumn("_ub", block_ub_col(index, stats_map))
-        .join(F.broadcast(seg_bounds), "segment_id")
-        .join(F.broadcast(theta_df))
-        .filter(F.col("_ub") + (tot - my_ub) >= F.col("_theta"))
+    # --- bounds (tiny header-cache job) ------------------------------
+    bound_rows = (
+        hdr.groupBy("segment_id", "term").agg(F.max("_ub").alias("m"))
+        .limit(WAND_DRIVER_BOUNDS_MAX + 1)
+        .collect()
     )
-    return survivors.drop(
-        "_ub", "_theta", *[f"_ub{i}" for i in range(len(uniq))]
+    driver_mode = len(bound_rows) <= WAND_DRIVER_BOUNDS_MAX
+
+    # --- θ seed ------------------------------------------------------
+    anchor_terms = sorted(set(must) | set(mn))
+    theta_df = None
+    theta_lit: float | None = None
+    if not (must or mn) and driver_mode:
+        # Pure-should query, bounded geometry: collect the GLOBAL top
+        # seed block keys per term (a window over the header cache —
+        # deliberately global, not per-segment: the best seed blocks of
+        # different terms tend to cover the SAME high-impact doc ranges,
+        # and θ quality comes from that overlap), fetch those few payload
+        # rows, decode with the local codec, and inline θ as a LITERAL.
+        # The pruned plan then has the exhaustive plan's exact stage
+        # count — the θ subtree's three AQE materializations (decode
+        # exchange, doc groupBy, top-k limit) vanish, which was the
+        # round-3 fixed cost that kept pruning from ever repaying itself
+        # locally.
+        seed_payload = (
+            blocks.filter(_seed_key_cond(hdr, k))
+            .select("segment_id", "term", "count", "first_doc",
+                    "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
+            .collect()
+        )
+        theta_lit = _theta_local(index, stats_map, boosts, seed_payload, k)
+    else:
+        # must/must_not anchors are unbounded postings (and the >4096-row
+        # fallback keeps everything distributed), so θ stays a 1-row
+        # DataFrame broadcast into the survivor filter.
+        if must:
+            seed_blocks = blocks.filter(F.col("term").isin(anchor_terms))
+        else:
+            seed_cond = _seed_key_cond(hdr, k)
+            if mn:
+                seed_cond = seed_cond | F.col("term").isin(mn)
+            seed_blocks = blocks.filter(seed_cond)
+        seed_partial = F.when(
+            F.col("term").isin(mn) & ~F.col("term").isin(scored), F.lit(0.0)
+        ).otherwise(
+            bm25_score_col(index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id"))
+            * _boost_mult_col(boosts, F.col("term"))
+        )
+        seed_aggs = [F.sum("partial").alias("s")]
+        if must:
+            seed_aggs.append(
+                F.count_distinct(
+                    F.when(F.col("term").isin(must), F.col("term"))
+                ).alias("_mh")
+            )
+        if mn:
+            seed_aggs.append(
+                F.max(F.when(F.col("term").isin(mn), 1).otherwise(0)).alias("_mn")
+            )
+        seed_docs = (
+            seed_blocks.select("segment_id", "term", "count", "first_doc",
+                               "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
+            .mapInPandas(
+                lambda it: (codec.decode_blocks_pdf(pdf) for pdf in it),
+                schema="segment_id int, term string, doc_id long, tf long, norm_id long",
+            )
+            .withColumn("partial", seed_partial)
+            .groupBy("doc_id").agg(*seed_aggs)
+        )
+        if must:
+            seed_docs = seed_docs.filter(F.col("_mh") == len(must))
+        if mn:
+            seed_docs = seed_docs.filter(F.col("_mn") == 0)
+        theta_df = (
+            seed_docs.orderBy(F.desc("s")).limit(k)
+            .agg(
+                F.when(F.count("*") >= k, F.min("s")).otherwise(F.lit(0.0)).alias("_theta")
+            )
+        )
+
+    # --- survivor filter ---------------------------------------------
+    prunable = blocks.filter(F.col("term").isin(should_only)).withColumn(
+        "_ub", block_ub_col(index, stats_map) * _boost_mult_col(boosts, F.col("term"))
     )
+    if driver_mode:
+        # literal maps: other(t, s) = total(s) - max_ub(t, s); pure
+        # codegen lookups, zero extra exchanges in the survivor subtree.
+        totals: dict[int, float] = {}
+        own: dict[str, float] = {}
+        for r in bound_rows:
+            totals[r["segment_id"]] = totals.get(r["segment_id"], 0.0) + r["m"]
+            own[f"{r['term']}|{r['segment_id']}"] = r["m"]
+        tot_pairs = []
+        for s, v in totals.items():
+            tot_pairs.extend([F.lit(s), F.lit(v)])
+        own_pairs = []
+        for ky, v in own.items():
+            own_pairs.extend([F.lit(ky), F.lit(v)])
+        other = (
+            F.element_at(F.create_map(*tot_pairs), F.col("segment_id"))
+            - F.element_at(
+                F.create_map(*own_pairs),
+                F.concat_ws("|", F.col("term"), F.col("segment_id")),
+            )
+        )
+        if theta_lit is not None:
+            survivors = prunable.filter(
+                F.col("_ub") + other >= F.lit(theta_lit)
+            ).drop("_ub")
+        else:
+            survivors = (
+                prunable.join(F.broadcast(theta_df))
+                .filter(F.col("_ub") + other >= F.col("_theta"))
+                .drop("_ub", "_theta")
+            )
+    else:
+        uniq = sorted(set(scored))
+        seg_bounds = hdr.groupBy("segment_id").agg(*[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("_ub"))), F.lit(0.0)
+            ).alias(f"_ub{i}")
+            for i, t in enumerate(uniq)
+        ])
+        tot = sum(F.col(f"_ub{i}") for i in range(len(uniq)))
+        my_ub = None
+        for i, t in enumerate(uniq):
+            cond = F.col("term") == t
+            my_ub = F.when(cond, F.col(f"_ub{i}")) if my_ub is None else my_ub.when(cond, F.col(f"_ub{i}"))
+        joined = prunable.join(F.broadcast(seg_bounds), "segment_id")
+        if theta_lit is not None:
+            survivors = joined.filter(
+                F.col("_ub") + (tot - my_ub) >= F.lit(theta_lit)
+            ).drop("_ub", *[f"_ub{i}" for i in range(len(uniq))])
+        else:
+            survivors = (
+                joined.join(F.broadcast(theta_df))
+                .filter(F.col("_ub") + (tot - my_ub) >= F.col("_theta"))
+                .drop("_ub", "_theta", *[f"_ub{i}" for i in range(len(uniq))])
+            )
+    if anchor_terms:
+        survivors = blocks.filter(F.col("term").isin(anchor_terms)).unionByName(
+            survivors
+        )
+    return survivors

@@ -222,3 +222,24 @@ def test_clause_boosts(spark, micro_index):
             assert set(got[qid]) == set(want[qid]), (strat, qid)
             for d, s in got[qid].items():
                 assert s == pytest.approx(want[qid][d], abs=1e-9), (strat, qid, d)
+
+
+def test_duplicate_term_boost_semantics(spark, micro_index):
+    """Pin the documented divergence (query.py module doc): a duplicated
+    term is scored ONCE and the last EXPLICIT boost wins — an unboosted
+    repeat does not reset an earlier boost."""
+    import pytest
+
+    from sparktext.query import matched_docs, parse_query
+
+    assert parse_query("apple^2 apple^3").boosts == {"apple": 3.0}
+    assert parse_query("apple^2 apple").boosts == {"apple": 2.0}
+    assert parse_query("apple apple^2").boosts == {"apple": 2.0}
+    # scoring: 'apple^2 apple^3' == a single apple^3 clause
+    a = {r["doc_id"]: r["score"]
+         for r in matched_docs(micro_index, parse_query("apple^2 apple^3")).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in matched_docs(micro_index, parse_query("apple^3")).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], abs=1e-12)

@@ -94,7 +94,69 @@ def test_cost_based_fallback(doc_index):
     q = parse_query("query window scan")
     lazy_wand = matched_docs(doc_index, q, exhaustive=False, k=10)
     lazy_ex = matched_docs(doc_index, q, exhaustive=True)
-    assert "_theta" not in lazy_wand._jdf.queryExecution().analyzed().toString()
+    assert "wand_pruned" not in lazy_wand._jdf.queryExecution().analyzed().toString()
     # forcing the threshold off re-enables the pruning plan
     forced = matched_docs(doc_index, q, exhaustive=False, k=10, wand_min_postings=0)
-    assert "_theta" in forced._jdf.queryExecution().analyzed().toString()
+    assert "wand_pruned" in forced._jdf.queryExecution().analyzed().toString()
+    # must queries keep the distributed θ subtree (unbounded anchor set)
+    forced_must = matched_docs(
+        doc_index, parse_query("+spark query"), exhaustive=False, k=10,
+        wand_min_postings=0,
+    )
+    assert "_theta" in forced_must._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.parametrize("qstr,k", [
+    ("+heavy apple banana", 5),     # must driver + should
+    ("+apple grape -banana", 6),    # must + should + must_not
+    ("apple -banana", 5),           # must_not only
+    ("heavy^2 apple", 5),           # boosted should
+    ("+heavy apple^3 banana", 4),   # must + boosted should
+])
+def test_wand_equals_exhaustive_boolean(micro_index, qstr, k):
+    """Round-4: pruning now covers must/must_not/boosted queries (the
+    round-3 verdict's silent-exhaustive-fallback gap) — results must
+    stay rank-identical to the exhaustive plan."""
+    assert _topk(micro_index, qstr, k, False) == _topk(micro_index, qstr, k, True)
+
+
+def test_wand_negative_boost_falls_back(micro_index):
+    """ub * boost only bounds the boosted partial for boost > 0 — a
+    negative boost must route to the exhaustive plan."""
+    q = parse_query("apple^-2 banana")
+    lazy = matched_docs(micro_index, q, exhaustive=False, k=5, wand_min_postings=0)
+    assert "_theta" not in lazy._jdf.queryExecution().analyzed().toString()
+
+
+def test_wand_must_prunes_nonmust_segments(spark):
+    """The Spark analogue of tantivy's must-driven pruning: θ is seeded
+    from the MUST term's own postings, and segments holding no must
+    blocks get max_ub(must, s) = 0 — their should blocks are pruned
+    wholesale by the per-segment bound, which IS the must-semi-join
+    effect without a separate stage."""
+    rows = []
+    for i in range(512):
+        words = ["hot"] + ["pad"] * 18
+        if i < 10:
+            words = ["tag", "tag", "tag", "hot"] + ["pad"] * 16
+        content = " ".join(words)
+        rows.append((i, "r", f"p/{i}", f"c{i}", "py", content, len(content)))
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, "
+        "content string, n_chars long",
+    )
+    from sparktext.build import build_index
+    from sparktext.query import postings_for_terms
+    from sparktext.score import term_stats, wand_blocks_for_query
+
+    index = build_index(spark, corpus, num_segments=4)
+    q = parse_query("+tag hot")
+    stats_map = term_stats(index, ["tag", "hot"])
+    total = postings_for_terms(index, ["tag", "hot"], stats_map).count()
+    kept = wand_blocks_for_query(index, q, 5, stats_map).count()
+    assert kept < total, (kept, total)  # hot blocks outside seg 0 pruned
+    # all tag blocks + seg-0 hot block(s) survive; 3 hot-only segments
+    # have bound 0 + ub_hot << θ and must be gone
+    assert kept <= total - 3, (kept, total)
+    assert _topk(index, "+tag hot", 5, False) == _topk(index, "+tag hot", 5, True)
