@@ -123,16 +123,17 @@ def postings_for_terms(index, terms: list[str], stats_map: dict | None = None) -
 #: results are identical either way; this only picks the cheaper plan.
 #: Lucene/tantivy make the same strategy call per-query from term stats.
 #:
-#: Calibrated from measured crossover on the skewed-impact bench corpus
-#: (local[32], round 3): exhaustive vs forced-pruning wall seconds were
-#: 1.29/3.12 @1.5M postings, 1.63/3.16 @6M, 1.40/1.99 @12M, 1.95/2.29
-#: @24M — the pruning plan's fixed cost (~3 extra AQE stage
-#: materializations + a header-linear bound pass) converges toward but
-#: never beats exhaustive below ~24M, extrapolating to a ~40-50M
-#: crossover here. The scale argument for WAND is decode VOLUME (99%
-#: of blocks skipped, see bench zipf_* counters), which buys wall time
-#: only once per-term posting lists dwarf the fixed stage latency.
-WAND_MIN_POSTINGS = 50_000_000
+#: Calibrated from the measured crossover sweep (tools/wand_crossover.py,
+#: local[32], round 4, quiet-window best-of-3, after the fixed-cost cut
+#: — driver-literal seed θ + bounds, see score.wand_blocks_for_query):
+#: exhaustive vs forced-pruning wall seconds were 0.93/1.79 @1.5M
+#: candidate postings, 0.93/1.74 @6M, 1.28/1.61 @12M, and **1.81/1.58
+#: @24M — the pruning plan now WINS past ~17M postings** (round 3's
+#: plan never won below its ~40-50M extrapolation). The pruned wall is
+#: ~flat (fixed ~1.6s: two tiny header/seed driver jobs + the same
+#: stage count as exhaustive over ~1% of blocks) while exhaustive grows
+#: with decode volume, so the gate is set at the measured crossover.
+WAND_MIN_POSTINGS = 16_000_000
 
 
 def matched_docs(
@@ -449,6 +450,7 @@ def search_many(
     k: int = 10,
     round_decimals: int | None = None,
     strategy: str = "auto",
+    phase_walls: dict | None = None,
 ) -> DataFrame:
     """Batch search: N queries -> ONE postings pass (B2–B5, B9 fused).
 
@@ -550,6 +552,21 @@ def search_many(
     doc_maps = scored.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("tid", "partial"))).alias("pm")
     )
+    if phase_walls is not None:
+        # DIAGNOSTIC ONLY (scaling analysis): time the cumulative
+        # sub-stages with extra actions — each count re-runs its
+        # upstream, so walls are cumulative prefixes of the plan:
+        # decode+score projection, then + the pivot groupBy. The caller
+        # subtracts to get per-stage walls; never pass this in
+        # production (it runs the prefix stages twice).
+        import time as _time
+
+        _t = _time.time()
+        scored.count()
+        phase_walls["w_decode_score"] = round(_time.time() - _t, 3)
+        _t = _time.time()
+        doc_maps.count()
+        phase_walls["w_plus_pivot"] = round(_time.time() - _t, 3)
     boosted = any(q.has_boosts for q in live.values())
     lists = {
         qid: (

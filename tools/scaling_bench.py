@@ -127,6 +127,23 @@ def run_single(parallelism: int, reps: int) -> None:
         dt = time.time() - t
         best = dt if best is None else min(best, dt)
 
+    # Diagnostic pass (NOT the headline number): cumulative sub-stage
+    # walls of the batch plan, so the two levels' ratios show WHICH term
+    # fails to scale — the decode+score map stage, the pivot groupBy
+    # shuffle, or the broadcast-eval + window top-k tail.
+    qphases: dict = {}
+    t = time.time()
+    search_many(index, queries, k=10, phase_walls=qphases).collect()
+    qdiag_total = round(time.time() - t, 3)
+    qphases["w_total_diag"] = qdiag_total
+    # the final collect re-runs decode+pivot then evaluates + top-ks:
+    full_collect = qdiag_total - qphases.get("w_plus_pivot", 0.0) \
+        - qphases.get("w_decode_score", 0.0)
+    qphases["w_full_collect"] = round(full_collect, 3)
+    qphases["w_eval_topk"] = round(
+        full_collect - qphases.get("w_plus_pivot", 0.0), 3
+    )
+
     print(json.dumps({
         "parallelism": parallelism,
         "n_docs": n_docs,
@@ -136,6 +153,7 @@ def run_single(parallelism: int, reps: int) -> None:
         "n_queries": len(queries),
         "batch_queries_per_sec": round(len(queries) / best, 2),
         "build_phases": phases,
+        "query_phases": qphases,
     }))
 
 
