@@ -294,6 +294,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "bb3": "+join filter^3"}
         return search_many(idx, qs, k=10, round_decimals=4)
 
+    def search_quoted(spark, sf_dir):
+        # B1 quoted-phrase syntax folded into the boolean evaluator:
+        # must phrase + should term, scores summed over both clauses.
+        from sparktext.query import matched_docs, parse_query
+        from sparktext.topk import top_k
+
+        idx = _index(spark, sf_dir)
+        return top_k(
+            matched_docs(idx, parse_query('+"query window" spark')),
+            10, round_decimals=4,
+        )
+
     def agg_cardinality(spark, sf_dir):
         from sparktext.aggs import CardinalityAgg
 
@@ -342,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boost": search_boost,
         "search_facet_subtree": search_facet_subtree,
         "search_batch_boosted": search_batch_boosted,
+        "search_quoted": search_quoted,
         "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
     }
@@ -553,6 +566,38 @@ SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
             "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en' "
             "ORDER BY doc_id"
         ),
+        "search_quoted": f"""
+WITH tokp AS (SELECT doc_id,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+     FROM documents),
+{_TOK}, {_TF}, {_DL}, {norm_values_sql()},
+qdl AS (SELECT doc_id, (SELECT MAX(v) FROM norm_vals WHERE v <= doc_len) AS q FROM dl),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT SUM(doc_len) FROM dl) AS total),
+p0 AS (SELECT doc_id, list(pos) AS ps FROM tokp WHERE term = 'query' GROUP BY doc_id),
+p1 AS (SELECT doc_id, list(pos - 1) AS ps FROM tokp WHERE term = 'window' GROUP BY doc_id),
+ptf AS (SELECT p0.doc_id, len(list_intersect(p0.ps, p1.ps)) AS tf
+        FROM p0 JOIN p1 USING (doc_id)
+        WHERE len(list_intersect(p0.ps, p1.ps)) > 0),
+pidf AS (SELECT SUM(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))) AS sidf
+         FROM (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokp
+               WHERE term IN ('query', 'window') GROUP BY term) d, stats),
+phr AS (SELECT ptf.doc_id,
+        pidf.sidf * ptf.tf * ({K1} + 1.0)
+          / (ptf.tf + {K1} * (1.0 - {B} + {B} * qdl.q
+             / (CAST(stats.total AS DOUBLE) / stats.n))) AS s
+        FROM ptf JOIN qdl ON qdl.doc_id = ptf.doc_id, pidf, stats),
+sdf AS (SELECT COUNT(*) AS df FROM tf WHERE term = 'spark'),
+spart AS (SELECT tf.doc_id,
+          ln(1.0 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+            * tf.tf * ({K1} + 1.0)
+            / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.q
+               / (CAST(stats.total AS DOUBLE) / stats.n))) AS s
+          FROM tf JOIN qdl USING (doc_id), sdf, stats WHERE tf.term = 'spark')
+SELECT phr.doc_id AS doc_id, ROUND(phr.s + COALESCE(spart.s, 0.0), 4) AS score
+FROM phr LEFT JOIN spart ON spart.doc_id = phr.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "search_batch_boosted": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"
             for qid, sql in [

@@ -44,6 +44,9 @@ class Query:
     must_not: list[str] = field(default_factory=list)
     #: per-term score multipliers (tantivy's `term^2` boost); absent = 1.0
     boosts: dict[str, float] = field(default_factory=dict)
+    #: quoted phrase clauses: (terms, slop, occur) — tantivy's
+    #: ``"a b"`` / ``"a b"~2`` / ``+"a b"`` / ``-"a b"`` syntax
+    phrases: list[tuple] = field(default_factory=list)
 
     @property
     def scored_terms(self) -> list[str]:
@@ -62,11 +65,23 @@ class Query:
 def parse_query(qstr: str) -> Query:
     """B1: query string -> :class:`Query` AST.
 
-    Clause syntax: ``+term`` must, ``-term`` must_not, ``term^2.5``
-    boost (score multiplier, tantivy query-parser syntax; applies to
-    every token the clause expands to)."""
+    Clause syntax (tantivy query-parser subset): ``+term`` must,
+    ``-term`` must_not, ``term^2.5`` boost (score multiplier; applies to
+    every token the clause expands to), ``"a b"`` quoted phrase,
+    ``"a b"~2`` sloppy phrase, ``+"a b"`` / ``-"a b"`` phrase occurs.
+    Phrase clauses evaluate through the positions index (B6)."""
+    import re
+
     q = Query()
-    for clause in (qstr or "").split():
+    for m in re.finditer(r'([+-]?)"([^"]*)"(?:~(\d+))?|(\S+)', qstr or ""):
+        if m.group(2) is not None:
+            occur = {"+": "must", "-": "must_not"}.get(m.group(1), "should")
+            slop = int(m.group(3)) if m.group(3) else 0
+            toks = tokenize_text(m.group(2))
+            if toks:
+                q.phrases.append((toks, slop, occur))
+            continue
+        clause = m.group(4)
         occur = "should"
         if clause.startswith("+"):
             occur, clause = "must", clause[1:]
@@ -153,20 +168,23 @@ def matched_docs(
     exhaustive path.
     """
     stats_map = term_stats(index, query.scored_terms + query.must_not)
+    spark = index.postings.sparkSession
     # A MUST term absent from the dictionary -> empty result, by definition.
     if any(t not in stats_map for t in query.must):
-        spark = index.postings.sparkSession
         return spark.createDataFrame([], "doc_id long, score double")
     scored_present = [t for t in query.scored_terms if t in stats_map]
-    if not scored_present:
-        spark = index.postings.sparkSession
+    if not scored_present and not query.phrases:
         return spark.createDataFrame([], "doc_id long, score double")
     mn_present = sorted({t for t in query.must_not if t in stats_map})
+    if not scored_present:
+        # phrase-only query (possibly with term-level must_not)
+        return _compose_phrase_clauses(index, query, None, stats_map, mn_present)
 
     candidate_postings = sum(stats_map[t]["doc_freq"] for t in scored_present)
     if (
         not exhaustive
         and k
+        and not query.phrases  # phrase scores aren't block-boundable
         and candidate_postings >= wand_min_postings
         # ub * boost bounds the boosted partial only for positive boosts
         and all(b > 0 for b in query.boosts.values())
@@ -217,7 +235,62 @@ def matched_docs(
     # Docs matched ONLY by must_not terms were dropped by the _mn filter;
     # docs matched only by should/must terms keep their full score (their
     # zeroed must_not partials never existed).
-    return _alive(index, grouped)
+    grouped = _alive(index, grouped)
+    if not query.phrases:
+        return grouped
+    return _compose_phrase_clauses(index, query, grouped, stats_map, mn_present)
+
+
+def _compose_phrase_clauses(
+    index, query: Query, grouped: DataFrame | None, stats_map: dict,
+    mn_present: list[str],
+) -> DataFrame:
+    """Fold quoted phrase clauses (B1 ``"a b"``/``"a b"~N`` syntax) into
+    the boolean result — tantivy BooleanQuery semantics with phrase
+    subqueries:
+
+    - should/must phrases contribute their PhraseWeight score (B6) to
+      the doc's sum; must phrases additionally filter (semi-join);
+      must_not phrases exclude (anti-join);
+    - term-level MUST clauses bind globally: phrase-matched docs that
+      fail them are excluded via a semi-join on the term-side result
+      (which already enforces its own must/mn constraints);
+    - term-level MUST_NOT binds globally too: the term-side aggregation
+      only excludes mn docs among ITS rows, so a separate anti-join on
+      the mn doc set covers phrase-only matches (the extra mn decode
+      scan is bucket-pruned and only runs for phrase+mn queries).
+    """
+    from functools import reduce
+
+    spark = index.postings.sparkSession
+    score_dfs = [grouped.select("doc_id", "score")] if grouped is not None else []
+    must_filters: list[DataFrame] = []
+    antis: list[DataFrame] = []
+    for terms, slop, occur in query.phrases:
+        pdf = phrase_docs(index, terms, slop)
+        if occur == "must_not":
+            antis.append(pdf.select("doc_id"))
+        else:
+            score_dfs.append(pdf.select("doc_id", "score"))
+            if occur == "must":
+                must_filters.append(pdf.select("doc_id"))
+    if query.must and grouped is not None:
+        must_filters.append(grouped.select("doc_id"))
+    if not score_dfs:
+        # only must_not clauses scoreable-side: matches nothing (tantivy)
+        return spark.createDataFrame([], "doc_id long, score double")
+    if mn_present and (grouped is None or len(score_dfs) > 1):
+        mb = postings_for_terms(index, mn_present, stats_map)
+        antis.append(_decode_postings(mb).select("doc_id").distinct())
+    out = (
+        reduce(lambda a, b: a.unionByName(b), score_dfs)
+        .groupBy("doc_id").agg(F.sum("score").alias("score"))
+    )
+    for mf in must_filters:
+        out = out.join(mf, "doc_id", "left_semi")
+    for adf in antis:
+        out = out.join(adf, "doc_id", "left_anti")
+    return _alive(index, out)
 
 
 def _alive(index, df: DataFrame) -> DataFrame:
@@ -482,11 +555,25 @@ def search_many(
     shuffled groupBy rows cost far more each than the broadcast plan's
     codegen'd map lookups. Both strategies are result-identical
     (asserted in tests).
+
+    Duplicate queries are DEDUPED before evaluation (identical evaluated
+    signatures share one representative; results fan back out through a
+    broadcast mapping), so evaluated-row volume scales with distinct
+    signatures, not submitted strings — real batch workloads repeat
+    queries constantly.
     """
     from pyspark.sql import Window
 
     spark = index.postings.sparkSession
     parsed = {qid: parse_query(qs) for qid, qs in queries.items()}
+    if any(q.phrases for q in parsed.values()):
+        # Batch plans share per-(doc, term) partials; phrase clauses need
+        # the positions index per clause. Not silently wrong — route
+        # phrase queries through matched_docs individually.
+        raise NotImplementedError(
+            "search_many does not support quoted phrase clauses; "
+            "run phrase queries individually via matched_docs/agg_search"
+        )
     # Boosted clauses (term^N): both batch plans share per-(doc, term)
     # partials ACROSS queries, so boosts ride as per-(query, term)
     # multipliers applied AFTER the shared stage — a parallel boost
@@ -512,14 +599,48 @@ def search_many(
     if not live:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
+    # Batch DEDUP: queries with identical evaluated signatures (present
+    # scored terms + must/must_not sets + effective boosts) produce
+    # identical top-k — evaluate ONE representative per signature and
+    # fan the rows back out through a tiny broadcast mapping at the end.
+    # Real batch workloads repeat queries constantly; evaluated-row
+    # volume scales with DISTINCT signatures, not submitted strings.
+    sig_groups: dict[tuple, list[str]] = {}
+    for qid, q in live.items():
+        key = (
+            tuple(sorted(t for t in q.scored_terms if t in stats_map)),
+            tuple(sorted(set(q.must))),
+            tuple(sorted(t for t in set(q.must_not) if t in stats_map)),
+            tuple(sorted(
+                (t, b) for t, b in q.boosts.items()
+                if t in stats_map and b != 1.0
+            )),
+        )
+        sig_groups.setdefault(key, []).append(qid)
+    dup_map: list[tuple[str, str]] | None = None
+    if len(sig_groups) < len(live):
+        dup_map = [
+            (qids[0], qid) for qids in sig_groups.values() for qid in qids
+        ]
+        live = {qids[0]: live[qids[0]] for qids in sig_groups.values()}
+
+    def _expand_dups(ranked: DataFrame) -> DataFrame:
+        if dup_map is None:
+            return ranked
+        mdf = F.broadcast(spark.createDataFrame(dup_map, "_rep string, _qid string"))
+        return (
+            ranked.join(mdf, ranked["query_id"] == mdf["_rep"])
+            .select(F.col("_qid").alias("query_id"), "doc_id", "score")
+        )
+
     if strategy == "auto":
         strategy = _pick_batch_strategy(
             index.stats.num_docs, stats_map, live, need_terms
         )
     if strategy == "join":
-        return _search_many_join(
+        return _expand_dups(_search_many_join(
             index, live, stats_map, sorted(need_terms), k, round_decimals
-        )
+        ))
 
     # ONE decode of the union term set -> one row per doc holding a
     # term->partial-score MAP, then a BROADCAST join against the tiny
@@ -629,7 +750,7 @@ def search_many(
     if round_decimals is not None:
         grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    return _expand_dups(
         grouped.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

@@ -232,3 +232,57 @@ def test_all_query(spark, micro_index):
     deleted = spark.createDataFrame([(0,), (5,)], "doc_id long")
     idx2 = micro_index.with_deletes(deleted)
     assert {r["doc_id"] for r in all_docs(idx2).collect()} == set(DOCS) - {0, 5}
+
+
+def test_quoted_phrase_parsing():
+    from sparktext.query import parse_query
+
+    q = parse_query('+"grape heavy" -"apple banana" "egg fig"~2 cherry^2')
+    assert q.phrases == [
+        (["grape", "heavy"], 0, "must"),
+        (["apple", "banana"], 0, "must_not"),
+        (["egg", "fig"], 2, "should"),
+    ]
+    assert q.boosts == {"cherry": 2.0}
+    assert q.should == ["cherry"]
+    # empty quotes are dropped; bare terms still parse around quotes
+    assert parse_query('"" apple').phrases == []
+    assert parse_query('"" apple').should == ["apple"]
+
+
+def test_quoted_phrase_boolean_composition(pos_index):
+    from sparktext.query import matched_docs, parse_query, phrase_docs
+
+    def docs(qstr):
+        return {r["doc_id"] for r in matched_docs(pos_index, parse_query(qstr)).collect()}
+
+    # phrase alone == phrase_docs
+    assert docs('"apple banana"') == {
+        r["doc_id"] for r in phrase_docs(pos_index, ["apple", "banana"]).collect()
+    } == {0, 5, 10}
+    # should phrase + should term: union, scores sum
+    assert docs('"apple banana" cherry') == {0, 1, 3, 5, 10}
+    ph = {r["doc_id"]: r["score"]
+          for r in phrase_docs(pos_index, ["apple", "banana"]).collect()}
+    ch = {r["doc_id"]: r["score"]
+          for r in matched_docs(pos_index, parse_query("cherry")).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in matched_docs(pos_index, parse_query('"apple banana" cherry')).collect()}
+    for d, s in got.items():
+        assert abs(s - (ph.get(d, 0.0) + ch.get(d, 0.0))) < 1e-9, d
+    # must phrase restricts; should term only adds score
+    assert docs('+"apple banana" cherry') == {0, 5, 10}
+    # should phrase with term-level must_not binds globally
+    # ("grape heavy" adjacency: docs 6,7,8,9; none contain cherry)
+    assert docs('"grape heavy" -cherry') == {6, 7, 8, 9}
+    assert docs('"grape heavy" -unique') == {6, 7, 9}
+    assert docs('"apple banana" -heavy') == {10}
+    # must_not phrase excludes docs matched by terms
+    assert docs('apple -"grape heavy"') == {0, 1, 5, 10}
+    # sloppy quoted phrase: "banana apple"~2 covers the transposition
+    assert docs('"banana apple"~2') >= {0, 10}
+    # term-level must binds phrase-matched docs too
+    assert docs('+cherry "apple banana"') == {1, 3, 5}
+    # missing-term phrase matches nothing; as must -> empty
+    assert docs('+"apple zzzmissing" banana') == set()
+    assert docs('"apple zzzmissing" banana') == docs("banana")

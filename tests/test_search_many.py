@@ -98,3 +98,28 @@ def test_many_dup_queries_still_correct(spark, micro_index):
     single = sorted(got["q0"])
     assert len(got) == len(many)
     assert all(sorted(v) == single for v in got.values())
+
+
+def test_search_many_dedups_identical_queries(micro_index):
+    """Duplicate query strings (and distinct strings with identical
+    evaluated signatures) are evaluated once and fanned back out —
+    every submitted qid still gets its full, identical top-k."""
+    from sparktext.query import search_many
+
+    base = {"a": "apple banana", "b": "+grape cherry", "c": "heavy -banana"}
+    singles = {
+        qid: sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_many(micro_index, {qid: q}, k=5).collect()
+        )
+        for qid, q in base.items()
+    }
+    dup = {f"{qid}#{i}": q for i in range(5) for qid, q in base.items()}
+    # a boost of 1.0 and a missing term are signature-invisible
+    dup["a#x"] = "apple^1 banana zzzmissing"
+    got: dict[str, list] = {}
+    for r in search_many(micro_index, dup, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    assert set(got) == set(dup)
+    for qid in dup:
+        assert sorted(got[qid]) == singles[qid.split("#")[0]], qid

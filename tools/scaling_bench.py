@@ -117,8 +117,15 @@ def run_single(parallelism: int, reps: int) -> None:
 
     with open(os.path.join(REPO, "tests", "queries.json")) as f:
         fixture = {k: v["q"] for k, v in json.load(f).items()}
+    # Each replica appends a DISTINCT vocabulary term: search_many now
+    # dedups identical query signatures, so plain x10 duplication would
+    # measure the (cheap) dedup path; distinct variants keep the q/s
+    # number an honest measure of per-query evaluation work.
+    extra = ["merge", "filter", "join", "window", "scan",
+             "stream", "customer", "sort", "spark", "query"]
     queries = {
-        f"{qid}#{i}": q for i in range(QUERY_DUP) for qid, q in fixture.items()
+        f"{qid}#{i}": f"{q} {extra[i % len(extra)]}"
+        for i in range(QUERY_DUP) for qid, q in fixture.items()
     }
     best = None
     for _ in range(2):
