@@ -70,12 +70,12 @@ def deterministic_fake_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
 
 
 def real_decoder_stub(payloads: pd.Series, dim: int) -> np.ndarray:
-    """Where a compressed-format (JPEG/PNG/audio) decode would plug in."""
+    """Where a lossy-codec (JPEG/MP3/MP4) decode would plug in."""
     raise NotImplementedError(
-        "JPEG/PNG/audio decode requires Pillow/torchaudio/ffmpeg — not "
-        "available in this container; uncompressed images decode for real "
-        "via image_decoder (PPM/BMP, pure numpy); pass "
-        "decoder=deterministic_fake_decoder for other formats in tests"
+        "JPEG/MP3/MP4 decode requires Pillow/torchaudio/ffmpeg — not "
+        "available in this container; PPM/BMP/PNG images and PCM WAV "
+        "audio decode for REAL via media_decoder (pure zlib+numpy); pass "
+        "decoder=deterministic_fake_decoder for lossy formats in tests"
     )
 
 
@@ -139,6 +139,155 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[:, :, ::-1]  # BGR -> RGB
 
 
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (grayscale, gray+alpha, RGB, RGBA,
+    palette) -> (H, W, 3) uint8 RGB — pure stdlib zlib + numpy, no
+    Pillow. Filters 0/1/2 unfilter vectorized (None; Sub = per-channel
+    modular cumsum; Up = prev-row add); 3/4 (Average/Paeth) fall back to
+    the per-pixel spec loop. Interlaced or 16-bit PNGs raise."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if bit != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes, lines = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            rec = line % 256
+        elif f == 1:  # Sub: modular prefix sum per channel lane
+            rec = (line.reshape(w, bpp).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = np.minimum(img[:, :, 0], len(pal) - 1)
+        img = pal[idx]
+    elif channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 2:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8- or 16-bit) -> ((n_frames, n_channels) float64 in
+    [-1, 1], sample_rate). Pure struct + numpy RIFF chunk walk."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        ln = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            frames = body
+    if fmt is None or frames is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunks")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+        raise ValueError(f"only PCM 8/16-bit WAV supported (fmt={audio_fmt})")
+    if bits == 16:
+        x = np.frombuffer(frames, dtype="<i2", count=len(frames) // 2)
+        x = x.astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = (len(x) // n_ch) * n_ch
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    return x[:n].reshape(-1, n_ch), int(rate)
+
+
+def _audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Real, deterministic audio features: duration, RMS, peak, zero
+    crossing rate, and 4 log-spaced spectral band energies (rfft) —
+    padded/truncated to dim."""
+    mono = samples.mean(axis=1)
+    dur = len(mono) / rate
+    rms = float(np.sqrt(np.mean(mono ** 2)))
+    peak = float(np.abs(mono).max())
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    total = spec.sum() or 1.0
+    edges = np.unique(
+        np.geomspace(1, len(spec), num=5).astype(int)
+    ) if len(spec) > 1 else np.array([0, 1])
+    bands = [
+        float(spec[edges[i]:edges[i + 1]].sum() / total)
+        for i in range(len(edges) - 1)
+    ]
+    bands = (bands + [0.0] * 4)[:4]
+    feats = np.array(
+        [np.log1p(dur), rms, peak, zcr, float(samples.shape[1]),
+         np.log1p(rate), *bands], dtype=np.float32,
+    )
+    if feats.size >= dim:
+        return feats[:dim]
+    return np.pad(feats, (0, dim - feats.size))
+
+
 def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
     """Real, deterministic image features: per-channel mean/std, log-area,
     aspect ratio, and a 2x2 grayscale grid — padded/truncated to dim."""
@@ -162,10 +311,11 @@ def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
 
 
 def image_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
-    """REAL decoder for uncompressed images (PPM P6 / 24-bit BMP): decode
-    pixels with numpy and compute image-statistics features. Rows that
-    are not decodable images yield a zero vector (kept, flagged by the
-    all-zero pattern, so a mixed corpus still processes end-to-end)."""
+    """REAL decoder for losslessly-coded images (PPM P6 / 24-bit BMP /
+    8-bit PNG): decode pixels with numpy and compute image-statistics
+    features. Rows that are not decodable images yield a zero vector
+    (kept, flagged by the all-zero pattern, so a mixed corpus still
+    processes end-to-end)."""
     out = np.zeros((len(payloads), dim), dtype=np.float32)
     for i, p in enumerate(payloads):
         if p is None:
@@ -176,10 +326,44 @@ def image_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
                 out[i] = _image_features(decode_ppm(b), dim)
             elif b.startswith(b"BM"):
                 out[i] = _image_features(decode_bmp(b), dim)
-        except (ValueError, IndexError, OverflowError, ZeroDivisionError):
-            # Any malformed payload degrades to the zero-vector flag —
-            # a hostile row must never crash the whole Spark task.
+            elif b.startswith(b"\x89PNG"):
+                out[i] = _image_features(decode_png(b), dim)
+        except Exception:
+            # Any malformed payload (incl. corrupt zlib streams) degrades
+            # to the zero-vector flag — a hostile row must never crash
+            # the whole Spark task.
             pass
+    return out
+
+
+def audio_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
+    """REAL decoder for PCM WAV audio: struct/numpy RIFF walk -> sample
+    matrix -> duration/RMS/ZCR/spectral-band features. Non-WAV or
+    malformed rows degrade to the zero vector."""
+    out = np.zeros((len(payloads), dim), dtype=np.float32)
+    for i, p in enumerate(payloads):
+        if p is None:
+            continue
+        b = bytes(p)
+        try:
+            if b.startswith(b"RIFF"):
+                samples, rate = decode_wav(b)
+                out[i] = _audio_features(samples, rate, dim)
+        except Exception:
+            pass
+    return out
+
+
+def media_decoder(payloads: pd.Series, dim: int) -> np.ndarray:
+    """Dispatching REAL decoder: images (PPM/BMP/PNG) and audio (PCM
+    WAV) by magic bytes; anything else (JPEG/MP3/MP4 — lossy codecs
+    needing external libs) degrades to the zero vector."""
+    out = image_decoder(payloads, dim)
+    riff = payloads.map(
+        lambda p: p is not None and bytes(p)[:4] == b"RIFF"
+    ).to_numpy(dtype=bool)
+    if riff.any():
+        out[riff] = audio_decoder(payloads[riff], dim)
     return out
 
 
