@@ -50,8 +50,9 @@ def _facet_index(spark: SparkSession, sf_dir: str):
     if key not in _FACET_CACHE:
         from sparktext.build import with_facets
 
-        fcol = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("repo"))
-        _FACET_CACHE[key] = with_facets(_index(spark, sf_dir), fcol)
+        _FACET_CACHE[key] = with_facets(
+            _index(spark, sf_dir), "concat('/', lang, '/', repo)"
+        )
     return _FACET_CACHE[key]
 
 

@@ -97,6 +97,10 @@ class Index:
     #: optional facet postings (tantivy `facet` field): same block codec
     #: as ``postings`` but terms are '/a/b' ancestor paths; see with_facets
     facet_postings: DataFrame | None = None
+    #: SQL expression the facet field derives from (serializable — lets
+    #: append/merge re-derive facet postings) + its depth cap
+    facet_expr: str | None = None
+    facet_depth: int | None = None
 
     def block_headers(self) -> DataFrame:
         """Block headers WITHOUT the binary payload columns, persisted on
@@ -137,6 +141,7 @@ class Index:
             term_dict=self.term_dict, stats=self.stats,
             n_buckets=self.n_buckets, positions=self.positions,
             deleted=new_del.persist(), facet_postings=self.facet_postings,
+            facet_expr=self.facet_expr, facet_depth=self.facet_depth,
         )
 
 
@@ -652,9 +657,28 @@ def build_index(
                  stats=stats, n_buckets=n_buckets, positions=positions)
 
 
+def facet_posting_rows(doc_meta: DataFrame, facet_expr: str, depth: int | None) -> DataFrame:
+    """(doc_id, segment_id[, group_id], term=ancestor-prefix, tf=1,
+    doc_len=1) rows for the facet encode — shared by with_facets, the
+    append extension, and the post-purge merge rebuild."""
+    from sparktext.aggs import facet_prefixes_col  # local: import cycle
+
+    keep = ["doc_id", "segment_id"] + (
+        ["group_id"] if "group_id" in doc_meta.columns else []
+    )
+    return (
+        doc_meta.select(
+            *keep,
+            F.explode(facet_prefixes_col(F.expr(facet_expr), depth)).alias("term"),
+        )
+        .withColumn("tf", F.lit(1))
+        .withColumn("doc_len", F.lit(1))
+    )
+
+
 def with_facets(
     index: Index,
-    facet_col,
+    facet_expr,
     depth: int | None = None,
     index_dir: str | None = None,
 ) -> Index:
@@ -667,36 +691,74 @@ def with_facets(
     INDEX TIME — tantivy stores facet ords the same way), so a
     '/lang/rust' SUBTREE query is a single exact-term lookup: no LIKE
     scan over doc_meta, partition-pruned by term_bucket exactly like a
-    term query. ``facet_col`` is a Column over ``index.doc_meta`` (e.g.
-    ``F.concat(F.lit('/'), F.col('lang'), F.lit('/'), F.col('repo'))``).
+    term query. ``facet_expr`` is a SQL expression STRING over
+    ``index.doc_meta`` columns (e.g. ``"concat('/', lang, '/', repo)"``)
+    — a string, not a Column, so the spec can be persisted in a
+    ``facets.json`` sidecar and the facet table MAINTAINED by
+    ``append_documents`` (per-group extension) and ``merge_segments``
+    (post-purge rebuild). A Column is still accepted for ad-hoc
+    in-memory use (it cannot be persisted or maintained).
 
     Facet terms score constant 1.0 (tantivy multi-term ConstScorer), so
     tf=1 and doc_len=1 placeholders feed the codec; text BM25 statistics
     are untouched — the facet table is separate from ``postings`` and
     never pollutes avgdl/idf.
 
-    ``index_dir``: also write the table (partitioned by term_bucket,
-    sorted by term within partitions — same file-pruning story as
-    persisted postings); ``load_index`` picks it up on reload.
+    ``index_dir``: also write the table (partitioned by
+    (group_id, term_bucket) like postings — group-scoped dynamic
+    overwrite keeps the append extension crash-safe) plus the sidecar;
+    ``load_index`` picks both up on reload.
     """
-    from sparktext.aggs import facet_prefixes_col  # local: import cycle
-
-    rows = (
-        index.doc_meta.select(
-            "doc_id", "segment_id",
-            F.explode(facet_prefixes_col(facet_col, depth)).alias("term"),
+    if index_dir is not None and not isinstance(facet_expr, str):
+        raise TypeError(
+            "persisted facets need a SQL-string facet_expr (it is stored "
+            "in facets.json so appends/merges can re-derive the table)"
         )
-        .withColumn("tf", F.lit(1))
-        .withColumn("doc_len", F.lit(1))
-    )
-    fp = encode_posting_blocks(rows, index.n_buckets)
+    if isinstance(facet_expr, str):
+        rows = facet_posting_rows(index.doc_meta, facet_expr, depth)
+        expr_attr: str | None = facet_expr
+    else:
+        from sparktext.aggs import facet_prefixes_col  # local: import cycle
+
+        rows = (
+            index.doc_meta.select(
+                "doc_id", "segment_id",
+                F.explode(facet_prefixes_col(facet_expr, depth)).alias("term"),
+            )
+            .withColumn("tf", F.lit(1))
+            .withColumn("doc_len", F.lit(1))
+        )
+        expr_attr = None
+    group_cols = [c for c in ("group_id",) if c in rows.columns]
+    fp = encode_posting_blocks(rows.drop(*group_cols), index.n_buckets)
     if index_dir is not None:
+        import json
         import os
 
-        (fp.repartition("term_bucket")
-           .sortWithinPartitions("term", "segment_id", "block_id")
-           .write.mode("overwrite").partitionBy("term_bucket")
-           .parquet(os.path.join(index_dir, "facet_postings")))
+        from sparktext.manifest import _overwrite_group
+
+        if group_cols:
+            # re-attach group_id to encoded blocks: every segment belongs
+            # to exactly one group (appends offset segment ids), so a
+            # collected segment->group literal map suffices.
+            seg2grp = (
+                index.doc_meta.select("segment_id", "group_id").distinct().collect()
+            )
+            pairs = []
+            for r in seg2grp:
+                pairs.extend([F.lit(int(r["segment_id"])), F.lit(int(r["group_id"]))])
+            fp = fp.withColumn(
+                "group_id", F.element_at(F.create_map(*pairs), F.col("segment_id"))
+            )
+        else:
+            fp = fp.withColumn("group_id", F.lit(0))
+        _overwrite_group(
+            fp.sortWithinPartitions("term", "segment_id", "block_id"),
+            os.path.join(index_dir, "facet_postings"),
+            ["group_id", "term_bucket"],
+        )
+        with open(os.path.join(index_dir, "facets.json"), "w") as f:
+            json.dump({"expr": facet_expr, "depth": depth}, f)
         fp = index.doc_meta.sparkSession.read.parquet(
             os.path.join(index_dir, "facet_postings")
         )
@@ -707,4 +769,5 @@ def with_facets(
         term_dict=index.term_dict, stats=index.stats,
         n_buckets=index.n_buckets, positions=index.positions,
         deleted=index.deleted, facet_postings=fp,
+        facet_expr=expr_attr, facet_depth=depth,
     )

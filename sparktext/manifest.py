@@ -487,6 +487,27 @@ def append_documents(
     )
     _overwrite_group(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
 
+    facets_json = os.path.join(index_dir, "facets.json")
+    if os.path.exists(facets_json):
+        # Maintain the facet field (build.with_facets sidecar): encode
+        # the NEW group's facet prefixes and overwrite just its
+        # (group_id, term_bucket) partitions — same crash-retry contract
+        # as the text postings above.
+        from sparktext.build import encode_posting_blocks as _encode
+        from sparktext.build import facet_posting_rows
+
+        with open(facets_json) as f:
+            fj = json.load(f)
+        frows = facet_posting_rows(dm, fj["expr"], fj.get("depth"))
+        fblocks = _encode(frows.drop("group_id"), n_buckets).withColumn(
+            "group_id", F.lit(g)
+        )
+        _overwrite_group(
+            fblocks.sortWithinPartitions("term", "segment_id", "block_id"),
+            os.path.join(index_dir, "facet_postings"),
+            ["group_id", "term_bucket"],
+        )
+
     man_row = spark.createDataFrame(
         [(g, int(n_new), int(fp or 0), int((time.time() - t0) * 1000), build_id,
           "complete", int(st["num_segments"] + num_segments), int(g + 1),
@@ -525,6 +546,12 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     facet_postings = (
         spark.read.parquet(facet_path) if os.path.exists(facet_path) else None
     )
+    facet_expr = facet_depth = None
+    facets_json = os.path.join(index_dir, "facets.json")
+    if os.path.exists(facets_json):
+        with open(facets_json) as f:
+            fj = json.load(f)
+        facet_expr, facet_depth = fj.get("expr"), fj.get("depth")
     return Index(
         doc_meta=spark.read.parquet(os.path.join(index_dir, "doc_meta")),
         postings=spark.read.parquet(os.path.join(index_dir, "postings")),
@@ -533,4 +560,6 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         n_buckets=st["n_buckets"],
         positions=positions,
         facet_postings=facet_postings,
+        facet_expr=facet_expr,
+        facet_depth=facet_depth,
     )

@@ -102,6 +102,28 @@ def merge_segments(
         ).collect()[0]
         stats = IndexStats(num_docs=int(srow["n"]), total_tokens=int(srow["tt"] or 0))
 
+    # Facet field (build.with_facets): facet blocks decode to GLOBAL doc
+    # ids that a merge never remaps, so without deletes the table carries
+    # over untouched. A purge, though, leaves tombstoned doc ids inside
+    # facet blocks while the merged index drops its tombstone table — the
+    # facets must be REBUILT from the purged doc_meta (cheap: a metadata
+    # projection + encode). That needs the serializable facet_expr; an
+    # ad-hoc Column-built facet table cannot be rebuilt and is dropped
+    # (re-run with_facets on the merged index).
+    facet_postings = index.facet_postings
+    if facet_postings is not None and index.deleted is not None:
+        if index.facet_expr is not None:
+            from sparktext.build import facet_posting_rows
+
+            facet_postings = encode_posting_blocks(
+                facet_posting_rows(
+                    doc_meta.drop("group_id"), index.facet_expr, index.facet_depth
+                ),
+                index.n_buckets,
+            ).persist()
+        else:
+            facet_postings = None
+
     return Index(
         doc_meta=doc_meta,
         postings=postings,
@@ -110,4 +132,7 @@ def merge_segments(
         n_buckets=index.n_buckets,
         positions=positions,
         deleted=None,
+        facet_postings=facet_postings,
+        facet_expr=index.facet_expr,
+        facet_depth=index.facet_depth,
     )

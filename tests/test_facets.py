@@ -19,6 +19,9 @@ LANG = {d[0]: d[4] for d in MICRO_DOCS}
 REPO = {d[0]: d[1] for d in MICRO_DOCS}
 
 
+FACET_EXPR = "concat('/', lang, '/', repo)"
+
+
 def _facet_col():
     return F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("repo"))
 
@@ -75,9 +78,13 @@ def test_facet_persisted_roundtrip_and_pruning(spark, micro_corpus, tmpdir):
     from sparktext.query import facet_subtree_docs
 
     idx = build_index(spark, micro_corpus, num_segments=3, index_dir=tmpdir, num_groups=1)
-    with_facets(idx, _facet_col(), index_dir=str(tmpdir))
+    # persisted facets need the serializable SQL-string spec
+    with pytest.raises(TypeError, match="facet_expr"):
+        with_facets(idx, _facet_col(), index_dir=str(tmpdir))
+    with_facets(idx, FACET_EXPR, index_dir=str(tmpdir))
     loaded = load_index(spark, str(tmpdir))
     assert loaded.facet_postings is not None
+    assert loaded.facet_expr == FACET_EXPR
     got = _docs(facet_subtree_docs(loaded, "/rs"))
     assert got == {d for d, lg in LANG.items() if lg == "rs"}
     # the exact facet term must reach the parquet scan as a pushed filter
@@ -89,3 +96,46 @@ def test_facet_persisted_roundtrip_and_pruning(spark, micro_corpus, tmpdir):
     )
     assert "EqualTo(term,/rs)" in plan, plan
     assert "PartitionFilters: [isnotnull(term_bucket" in plan, plan
+
+
+def test_facets_maintained_through_append(spark, micro_corpus, tmpdir):
+    """append_documents extends the facet table for the new group (via
+    the facets.json sidecar) — subtree queries stay complete."""
+    from sparktext.build import build_index, with_facets
+    from sparktext.manifest import append_documents, load_index
+    from sparktext.query import facet_subtree_docs
+
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=str(tmpdir), num_groups=1)
+    with_facets(load_index(spark, str(tmpdir)), FACET_EXPR, index_dir=str(tmpdir))
+    append_documents(spark, str(tmpdir), second, num_segments=2)
+    idx = load_index(spark, str(tmpdir))
+    got = _docs(facet_subtree_docs(idx, "/py"))
+    assert got == {d for d, lg in LANG.items() if lg == "py"}
+    got2 = _docs(facet_subtree_docs(idx, "/rs/r1"))
+    assert got2 == {d for d in LANG if LANG[d] == "rs" and REPO[d] == "r1"}
+
+
+def test_facets_rebuilt_at_purging_merge(spark, facet_index):
+    """Merging with tombstones purges facet postings too (rebuild from
+    the serializable expr when available; dropped for ad-hoc Columns)."""
+    from sparktext.build import with_facets
+    from sparktext.merge import merge_segments
+    from sparktext.query import facet_subtree_docs
+
+    py_docs = sorted(d for d, lg in LANG.items() if lg == "py")
+    dead = spark.createDataFrame([(py_docs[0],)], "doc_id long")
+
+    # string-expr facets: rebuilt post-purge
+    idx = with_facets(facet_index, FACET_EXPR)
+    merged = merge_segments(idx.with_deletes(dead), 2)
+    assert merged.deleted is None
+    assert _docs(facet_subtree_docs(merged, "/py")) == set(py_docs[1:])
+
+    # ad-hoc Column facets: cannot be rebuilt -> dropped with guidance
+    idx2 = with_facets(facet_index, _facet_col())
+    merged2 = merge_segments(idx2.with_deletes(dead), 2)
+    assert merged2.facet_postings is None
