@@ -59,6 +59,7 @@ from sparktext.build import (
     _TOKENS_SCHEMA,
     assign_doc_ids,
     encode_posting_blocks,
+    term_bucket_col,
     with_sha,
 )
 
@@ -563,3 +564,117 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         facet_expr=facet_expr,
         facet_depth=facet_depth,
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    num_segments: int,
+    recompute_stats: bool = True,
+) -> Index:
+    """Persisted compaction (A10 merge x A12 layout): merge every
+    group/segment — purging tombstone files if a ``_deleted`` table ever
+    lands on disk is the caller's concern; in-memory deletes don't
+    persist — into a FRESH single-group index directory, then swap it in
+    with directory renames.
+
+    Swap protocol (crash-safe, re-runnable):
+
+    1. the whole new index is written to ``<dir>.compact_tmp`` and a
+       ``_COMPACT_DONE`` marker is the LAST file written there;
+    2. ``<dir>`` -> ``<dir>.compact_old``, then tmp -> ``<dir>`` (each
+       rename atomic on POSIX), then the old dir is deleted.
+
+    Crash before the marker: tmp is garbage, the live index is
+    untouched, re-run. Crash between the renames: the live dir is
+    missing but tmp carries the marker — the next :func:`compact_index`
+    (or any caller hitting the missing dir) completes the swap; the
+    recovery path runs FIRST on every invocation.
+    """
+    import shutil
+
+    base = index_dir.rstrip("/")
+    tmp, old = base + ".compact_tmp", base + ".compact_old"
+    # --- recovery of a torn previous swap --------------------------------
+    if not os.path.exists(base):
+        if os.path.exists(os.path.join(tmp, "_COMPACT_DONE")):
+            os.rename(tmp, base)
+        elif os.path.exists(old):
+            os.rename(old, base)  # pre-rename crash left the old dir
+        else:
+            raise ValueError(f"{base!r} holds no index")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    from sparktext.merge import merge_segments
+
+    t0 = time.time()
+    idx = load_index(spark, base)
+    merged = merge_segments(idx, num_segments, recompute_stats=recompute_stats)
+    build_id = uuid.uuid4().hex[:12]
+
+    os.makedirs(tmp)
+    (merged.postings.withColumn("group_id", F.lit(0))
+        .repartition("term_bucket")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+        .write.partitionBy("group_id", "term_bucket")
+        .parquet(os.path.join(tmp, "postings")))
+    dm = merged.doc_meta.withColumn("group_id", F.lit(0))
+    dm.write.partitionBy("group_id").parquet(os.path.join(tmp, "doc_meta"))
+    merged.term_dict.write.parquet(os.path.join(tmp, "term_dict"))
+    if merged.positions is not None:
+        (merged.positions.withColumn("group_id", F.lit(0))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), idx.n_buckets))
+            .write.partitionBy("group_id", "term_bucket")
+            .parquet(os.path.join(tmp, "positions")))
+    if merged.facet_postings is not None and merged.facet_expr is not None:
+        from sparktext.build import encode_posting_blocks, facet_posting_rows
+
+        fblocks = encode_posting_blocks(
+            facet_posting_rows(
+                merged.doc_meta.drop("group_id"),
+                merged.facet_expr, merged.facet_depth,
+            ),
+            idx.n_buckets,
+        ).withColumn("group_id", F.lit(0))
+        (fblocks.sortWithinPartitions("term", "segment_id", "block_id")
+            .write.partitionBy("group_id", "term_bucket")
+            .parquet(os.path.join(tmp, "facet_postings")))
+        with open(os.path.join(tmp, "facets.json"), "w") as f:
+            json.dump({"expr": merged.facet_expr, "depth": merged.facet_depth}, f)
+
+    srow = dm.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tt"),
+        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
+        .cast("long").alias("fp"),
+    ).collect()[0]
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump({
+            "num_docs": int(srow["n"]),
+            "total_tokens": int(merged.stats.total_tokens),
+            "n_buckets": idx.n_buckets, "num_segments": num_segments,
+        }, f)
+    with open(os.path.join(tmp, "geometry.json"), "w") as f:
+        json.dump({"num_segments": num_segments, "num_groups": 1}, f)
+    man = spark.createDataFrame(
+        [(0, int(srow["n"]), int(srow["fp"] or 0),
+          int((time.time() - t0) * 1000), build_id, "complete",
+          num_segments, 1, merged.positions is not None)],
+        "group_id int, n_docs long, input_fingerprint long, wall_ms long, "
+        "build_id string, status string, num_segments int, num_groups int, "
+        "with_positions boolean",
+    )
+    man.write.parquet(os.path.join(tmp, "_manifest"))
+    met = spark.createDataFrame(
+        [("compact", 0, int(srow["n"]), int((time.time() - t0) * 1000), build_id)],
+        "stage string, group_id int, rows long, wall_ms long, build_id string",
+    )
+    met.write.parquet(os.path.join(tmp, "_metrics"))
+    with open(os.path.join(tmp, "_COMPACT_DONE"), "w") as f:
+        f.write(build_id)
+
+    merged.unpersist()
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+    return load_index(spark, base)

@@ -296,3 +296,41 @@ def test_append_retry_after_postcommit_crash(spark, micro_corpus, micro_index, t
     idx3 = append_documents(spark, tmpdir, second, num_segments=2, force=True)
     assert idx3.stats.num_docs == 18
     assert spark.read.parquet(f"{tmpdir}/_manifest").count() == 3
+
+
+def test_compact_index_roundtrip(spark, micro_corpus, micro_index, tmpdir):
+    """Persisted compaction: multi-group index -> single-group directory
+    via the atomic-swap protocol; queries, phrases and facets all equal
+    the pre-compaction index; torn-swap recovery completes the swap."""
+    import os
+
+    from sparktext.build import build_index, with_facets
+    from sparktext.manifest import compact_index, load_index
+    from sparktext.query import facet_subtree_docs
+
+    d = str(tmpdir.join("idx"))
+    build_index(spark, micro_corpus, num_segments=4, index_dir=d,
+                num_groups=2, with_positions=True)
+    with_facets(load_index(spark, d), "concat('/', lang, '/', repo)", index_dir=d)
+
+    idx = compact_index(spark, d, num_segments=2)
+    assert idx.stats.num_docs == 12
+    man = spark.read.parquet(f"{d}/_manifest")
+    assert man.count() == 1 and man.collect()[0]["num_groups"] == 1
+    for q in ["heavy", "apple banana", "+grape cherry", "apple -banana"]:
+        assert _topk(idx, q) == _topk(micro_index, q), q
+    from sparktext.query import phrase_docs
+    assert phrase_docs(idx, ["apple", "banana"]).count() == 3
+    assert facet_subtree_docs(idx, "/py").count() == 7
+    # idempotent re-run
+    idx2 = compact_index(spark, d, num_segments=2)
+    assert idx2.stats.num_docs == 12
+
+    # torn swap: live dir renamed away, tmp holds the DONE marker -> the
+    # next compact_index completes the swap before doing anything else
+    os.rename(d, d + ".compact_tmp")
+    # (simulate: the tmp IS a complete index; marker from the last run)
+    with open(d + ".compact_tmp/_COMPACT_DONE", "w") as f:
+        f.write("x")
+    idx3 = compact_index(spark, d, num_segments=2)
+    assert idx3.stats.num_docs == 12
