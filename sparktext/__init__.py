@@ -21,6 +21,11 @@ Layout (SURVEY.md §7):
   ``training_data_pipeline`` (exact dedup -> quality -> lang -> near-dup)
 - :mod:`sparktext.porter2`    — built-in Snowball-English stemmer (A2)
 - :mod:`sparktext.ann`        — similarity search over embedding columns
+- :mod:`sparktext.streaming`  — Structured Streaming ingest sink (micro-
+  batch appends through the crash-safe A12 path; exactly-once)
+- :mod:`sparktext.multimodal` — binary media columns: magic-byte meta,
+  REAL PPM/BMP/PNG + PCM-WAV decode, Arrow-batched featurizers
+- :mod:`sparktext.sources`    — corpus sources (parquet; gated Iceberg)
 """
 
 from sparktext.session import get_spark  # noqa: F401
