@@ -217,3 +217,62 @@ def lsh_bucketed_topk(
             qb |= 1 << i
     candidates = df.filter(bucket_col(F.col(emb_col), planes) == F.lit(qb))
     return cosine_topk(candidates, qvec, k, id_col, emb_col)
+
+
+# ------------------------------------------------------------- IVF ANN ----
+# The coarse-quantizer scale path (FAISS's IndexIVFFlat shape, public
+# design): k-means centroids partition the corpus into inverted lists;
+# a query scores only the nprobe nearest lists. Training and assignment
+# are JVM-side (Spark MLlib KMeans); the centroid table is tiny and
+# lives on the driver. Complements the hyperplane-LSH path: IVF adapts
+# to the data distribution (learned cells vs fixed random planes), at
+# the cost of a training pass.
+
+
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns ``(assigned_df, centroids)``: the input plus an ``ivf_list``
+    int column (write it as a partition/bucket column at scale — a probe
+    then prunes files exactly like term_bucket does for postings), and
+    the (n_lists, dim) numpy centroid matrix for the driver-side probe
+    selection."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.withColumn("_v", array_to_vector(_as_double(F.col(emb_col))))
+    model = KMeans(
+        k=n_lists, maxIter=max_iter, seed=seed, featuresCol="_v",
+        predictionCol="ivf_list",
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("_v")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k scanning only the ``nprobe`` lists whose
+    centroids lie nearest the query (driver-side argsort over the tiny
+    centroid matrix — no extra job). ``nprobe == n_lists`` degenerates
+    to the exact brute-force scan (asserted in tests)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[: max(1, nprobe)]]
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, qvec, k, id_col, emb_col, round_decimals)

@@ -124,3 +124,26 @@ def test_lsh_cosine_pairs_mega_bucket_cap(spark, emb_df):
         .count()
     )
     assert some == 45  # 10 choose 2
+
+
+def test_ivf_topk_recall_and_full_probe_exact(spark, emb_df):
+    """IVF coarse quantizer: planted near-dups share the query's cell
+    (identical direction, tiny offset), and probing ALL lists equals the
+    exact brute-force top-k."""
+    from sparktext.ann import cosine_topk, ivf_build, ivf_topk
+
+    assigned, centroids = ivf_build(emb_df, n_lists=8, seed=7)
+    assert centroids.shape == (8, 16)
+    # every vector landed in exactly one list
+    assert assigned.count() == emb_df.count()
+
+    rows = emb_df.collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    got = [r["vec_id"] for r in ivf_topk(assigned, centroids, qvec, k=3, nprobe=2).collect()]
+    assert got[0] == 0 and 80 in got and 81 in got
+
+    exact = [(r["vec_id"], round(r["cosine"], 9))
+             for r in cosine_topk(emb_df, qvec, 10).collect()]
+    full = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
