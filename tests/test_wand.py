@@ -160,3 +160,16 @@ def test_wand_must_prunes_nonmust_segments(spark):
     # have bound 0 + ub_hot << θ and must be gone
     assert kept <= total - 3, (kept, total)
     assert _topk(index, "+tag hot", 5, False) == _topk(index, "+tag hot", 5, True)
+
+
+def test_wand_on_persisted_index(spark, micro_corpus, tmpdir):
+    """The driver-literal θ/bounds collects must work against the
+    parquet-backed postings too (partition-pruned seed fetch, header
+    mini-cache built from the persisted table) — in-memory-only coverage
+    would miss a persisted-path regression."""
+    from sparktext.build import build_index
+
+    idx = build_index(spark, micro_corpus, num_segments=3,
+                      index_dir=str(tmpdir), num_groups=2)
+    for qstr, k in [("heavy", 3), ("apple banana", 5), ("+heavy apple", 4)]:
+        assert _topk(idx, qstr, k, False) == _topk(idx, qstr, k, True), qstr
