@@ -655,7 +655,10 @@ def compact_index(
             "n_buckets": idx.n_buckets, "num_segments": num_segments,
         }, f)
     with open(os.path.join(tmp, "geometry.json"), "w") as f:
-        json.dump({"num_segments": num_segments, "num_groups": 1}, f)
+        # with_positions included: build_persistent_index(resume=True)
+        # adopts this sidecar and reads all three keys
+        json.dump({"num_segments": num_segments, "num_groups": 1,
+                   "with_positions": merged.positions is not None}, f)
     man = spark.createDataFrame(
         [(0, int(srow["n"]), int(srow["fp"] or 0),
           int((time.time() - t0) * 1000), build_id, "complete",

@@ -334,3 +334,11 @@ def test_compact_index_roundtrip(spark, micro_corpus, micro_index, tmpdir):
         f.write("x")
     idx3 = compact_index(spark, d, num_segments=2)
     assert idx3.stats.num_docs == 12
+
+    # resume=True on the compacted dir adopts its geometry (incl. the
+    # with_positions flag) and is a no-op re-finalize
+    idx4 = build_index(spark, micro_corpus, num_segments=99, index_dir=d,
+                       resume=True, num_groups=7)
+    assert idx4.stats.num_docs == 12
+    assert idx4.positions is not None
+    assert spark.read.parquet(f"{d}/_manifest").count() == 1
