@@ -734,8 +734,7 @@ def with_facets(
     if index_dir is not None:
         import json
         import os
-
-        from sparktext.manifest import _overwrite_group
+        import shutil
 
         if group_cols:
             # re-attach group_id to encoded blocks: every segment belongs
@@ -752,12 +751,22 @@ def with_facets(
             )
         else:
             fp = fp.withColumn("group_id", F.lit(0))
-        _overwrite_group(
-            fp.sortWithinPartitions("term", "segment_id", "block_id"),
-            os.path.join(index_dir, "facet_postings"),
-            ["group_id", "term_bucket"],
-        )
-        with open(os.path.join(index_dir, "facets.json"), "w") as f:
+        # FULL static overwrite, not the dynamic per-partition mode: a
+        # re-run with a DIFFERENT facet_expr must truncate the whole
+        # table — dynamic overwrite would leave term_bucket partitions
+        # that only old-expr terms hashed into, serving a mixed facet
+        # hierarchy. (Appends extend per-group with the dynamic mode;
+        # this initial build is the truncating writer.) The stale
+        # facets.json is removed FIRST so a crash mid-write leaves
+        # table-without-sidecar — the torn state load_index ignores.
+        facets_json = os.path.join(index_dir, "facets.json")
+        if os.path.exists(facets_json):
+            os.remove(facets_json)
+        shutil.rmtree(os.path.join(index_dir, "facet_postings"), ignore_errors=True)
+        (fp.sortWithinPartitions("term", "segment_id", "block_id")
+           .write.mode("overwrite").partitionBy("group_id", "term_bucket")
+           .parquet(os.path.join(index_dir, "facet_postings")))
+        with open(facets_json, "w") as f:
             json.dump({"expr": facet_expr, "depth": depth}, f)
         fp = index.doc_meta.sparkSession.read.parquet(
             os.path.join(index_dir, "facet_postings")

@@ -320,6 +320,7 @@ def append_documents(
     new_corpus: DataFrame,
     num_segments: int | None = None,
     force: bool = False,
+    commit_token: str | None = None,
 ) -> Index:
     """Incremental commit (tantivy ``add_document``+``commit`` ≈ appending
     segments): index new docs as FRESH segments after the current ones,
@@ -343,11 +344,18 @@ def append_documents(
       (idempotent) finalize repair instead of appending the same docs
       again under a new group id.
 
-    The fingerprint check means appending the exact same corpus twice in
-    a row is read as a crashed retry; pass ``force=True`` for the rare
-    intentional double-append. An index left un-retried after a crashed
-    append should not be served: either its orphans carry no manifest row
-    or its term_dict predates the last group."""
+    The bare fingerprint check means appending the exact same corpus
+    twice in a row is read as a crashed retry; pass ``force=True`` for
+    the rare intentional double-append, or — better — a ``commit_token``
+    (any caller-stable string identifying THIS commit attempt, e.g. a
+    streaming batch id): the skip then fires only when BOTH the content
+    fingerprint AND the token match the last complete group, so a
+    legitimately distinct batch that happens to carry identical content
+    (a re-exported snapshot) is still appended, while a replay of the
+    same attempt is still repaired. The token is recorded in the
+    manifest row's ``build_id`` column. An index left un-retried after a
+    crashed append should not be served: either its orphans carry no
+    manifest row or its term_dict predates the last group."""
     import math
 
     from sparktext.fieldnorm import fieldnorm_to_id
@@ -357,7 +365,7 @@ def append_documents(
     with open(os.path.join(index_dir, "stats.json")) as f:
         st = json.load(f)
     n_buckets = st["n_buckets"]
-    build_id = uuid.uuid4().hex[:12]
+    build_id = commit_token if commit_token is not None else uuid.uuid4().hex[:12]
     positions_path = os.path.join(index_dir, "positions")
     has_positions = os.path.exists(positions_path)
     # Base state comes from the MANIFEST (complete groups only), not from
@@ -408,7 +416,8 @@ def append_documents(
     last = (
         manifest0.filter(F.col("status") == "complete")
         .orderBy(F.desc("group_id"))
-        .select("n_docs", "input_fingerprint", "num_segments", "num_groups")
+        .select("n_docs", "input_fingerprint", "num_segments", "num_groups",
+                "build_id")
         .first()
     )
     if (
@@ -416,6 +425,9 @@ def append_documents(
         and last is not None
         and int(last["n_docs"]) == n_new
         and int(last["input_fingerprint"]) == int(fp or 0)
+        # with a commit_token, only a replay of the SAME attempt skips —
+        # a distinct batch with coincidentally identical content appends
+        and (commit_token is None or last["build_id"] == commit_token)
     ):
         # The same corpus is already committed as the last complete group
         # — this is a retry after a crash in the post-commit window
@@ -437,7 +449,7 @@ def append_documents(
         return load_index(spark, index_dir)
 
     t0 = time.time()
-    from sparktext.build import _TOKENS_SCHEMA_POS, term_bucket_col
+    from sparktext.build import _TOKENS_SCHEMA_POS
 
     tokens = (
         corpus.select("doc_id", "segment_id", "content")
@@ -489,7 +501,9 @@ def append_documents(
     _overwrite_group(dm, os.path.join(index_dir, "doc_meta"), ["group_id"])
 
     facets_json = os.path.join(index_dir, "facets.json")
-    if os.path.exists(facets_json):
+    if os.path.exists(facets_json) and os.path.exists(
+        os.path.join(index_dir, "facet_postings")
+    ):
         # Maintain the facet field (build.with_facets sidecar): encode
         # the NEW group's facet prefixes and overwrite just its
         # (group_id, term_bucket) partitions — same crash-retry contract
@@ -543,13 +557,18 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     positions = (
         spark.read.parquet(pos_path) if os.path.exists(pos_path) else None
     )
+    # Facet table only when BOTH the table and its facets.json sidecar
+    # exist: the persisted writer removes the sidecar first and writes it
+    # last, so any crash inside with_facets leaves table-without-sidecar
+    # — a torn state this guard treats as "no facets" (re-run
+    # with_facets) instead of serving an unmaintainable table whose
+    # appends would silently miss new docs.
     facet_path = os.path.join(index_dir, "facet_postings")
-    facet_postings = (
-        spark.read.parquet(facet_path) if os.path.exists(facet_path) else None
-    )
-    facet_expr = facet_depth = None
     facets_json = os.path.join(index_dir, "facets.json")
-    if os.path.exists(facets_json):
+    facet_postings = None
+    facet_expr = facet_depth = None
+    if os.path.exists(facet_path) and os.path.exists(facets_json):
+        facet_postings = spark.read.parquet(facet_path)
         with open(facets_json) as f:
             fj = json.load(f)
         facet_expr, facet_depth = fj.get("expr"), fj.get("depth")
@@ -679,5 +698,11 @@ def compact_index(
     merged.unpersist()
     os.rename(base, old)
     os.rename(tmp, base)
+    # Preserve the streaming-ingest checkpoint (sparktext.streaming):
+    # it is exactly-once STATE, not index data — dropping it would make
+    # the next stream_ingest replay the entire source as new documents.
+    ckpt = os.path.join(old, "_stream_checkpoint")
+    if os.path.exists(ckpt):
+        os.rename(ckpt, os.path.join(base, "_stream_checkpoint"))
     shutil.rmtree(old, ignore_errors=True)
     return load_index(spark, base)

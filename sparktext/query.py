@@ -205,12 +205,9 @@ def matched_docs(
         index, stats_map, F.col("term"), F.col("tf"), F.col("norm_id")
     )
     if query.has_boosts:
-        pairs = []
-        for t, b in query.boosts.items():
-            pairs.extend([F.lit(t), F.lit(float(b))])
-        partial = partial * F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col("term")), F.lit(1.0)
-        )
+        from sparktext.score import _boost_mult_col
+
+        partial = partial * _boost_mult_col(query.boosts, F.col("term"))
     if mn_present:
         partial = F.when(F.col("term").isin(mn_present), F.lit(0.0)).otherwise(partial)
     scored = scored.withColumn("partial", partial)
@@ -441,10 +438,18 @@ def facet_subtree_docs(index, facet_path: str) -> DataFrame:
     from sparktext.build import term_bucket_col
 
     norm = "/" + facet_path.strip("/")
-    blocks = index.facet_postings.filter(
-        (F.col("term_bucket") == term_bucket_col(F.lit(norm), index.n_buckets))
-        & (F.col("term") == norm)
-    )
+    if norm == "/":
+        # Root subtree = every doc holding ANY facet value. The root
+        # itself is never indexed as a term; every faceted doc appears
+        # exactly once at depth 1 (one facet path per doc), so the
+        # level-1 blocks ARE the root posting list — a regex row-group
+        # filter instead of one exact term.
+        blocks = index.facet_postings.filter(F.col("term").rlike("^/[^/]+$"))
+    else:
+        blocks = index.facet_postings.filter(
+            (F.col("term_bucket") == term_bucket_col(F.lit(norm), index.n_buckets))
+            & (F.col("term") == norm)
+        )
     out = _decode_postings(blocks).select("doc_id").withColumn("score", F.lit(1.0))
     return _alive(index, out)
 

@@ -181,7 +181,14 @@ def _theta_local(index, stats_map, boosts, rows, k: int) -> float:
     sums = pd.Series(part).groupby(dec["doc_id"].to_numpy()).sum()
     if len(sums) < k:
         return 0.0
-    return float(np.sort(sums.to_numpy())[-k])
+    theta = float(np.sort(sums.to_numpy())[-k])
+    # Relative slack: numpy/pandas accumulate in a different order than
+    # the JVM expression tree, so θ can land a few ulps ABOVE the exact
+    # JVM score of a tied doc — and '>= θ' would then prune blocks of
+    # docs the exhaustive plan returns. θ only needs to be a LOWER
+    # bound; 1e-9 relative covers any last-ulp ordering difference at
+    # the cost of keeping a vanishing sliver of extra blocks.
+    return theta - max(abs(theta) * 1e-9, 1e-12)
 
 
 def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:

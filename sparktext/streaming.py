@@ -67,7 +67,15 @@ def stream_ingest(
             batch_df = batch_df.drop("doc_id")
         if batch_df.isEmpty():
             return
-        append_documents(spark, index_dir, batch_df, num_segments=num_segments)
+        # commit_token = the streaming batch id: a crash-replay of the
+        # SAME batch is repaired (skip + re-finalize), while a later
+        # batch whose content happens to be identical (re-exported
+        # snapshot) still appends — content fingerprints alone cannot
+        # tell those apart.
+        append_documents(
+            spark, index_dir, batch_df, num_segments=num_segments,
+            commit_token=f"stream-batch-{batch_id}",
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -139,3 +139,27 @@ def test_facets_rebuilt_at_purging_merge(spark, facet_index):
     idx2 = with_facets(facet_index, _facet_col())
     merged2 = merge_segments(idx2.with_deletes(dead), 2)
     assert merged2.facet_postings is None
+
+
+def test_facet_root_subtree_and_reexpr_truncation(spark, micro_corpus, tmpdir, facet_index):
+    """'/' = every faceted doc; re-running with_facets with a DIFFERENT
+    expr must truncate the old hierarchy (no mixed-table leftovers)."""
+    from sparktext.build import build_index, with_facets
+    from sparktext.manifest import load_index
+    from sparktext.query import facet_subtree_docs
+
+    assert _docs(facet_subtree_docs(facet_index, "/")) == set(LANG)
+
+    d = str(tmpdir)
+    build_index(spark, micro_corpus, num_segments=3, index_dir=d, num_groups=1)
+    with_facets(load_index(spark, d), FACET_EXPR, index_dir=d)
+    # switch hierarchies: repo-first instead of lang-first
+    with_facets(load_index(spark, d), "concat('/', repo)", index_dir=d)
+    loaded = load_index(spark, d)
+    assert loaded.facet_expr == "concat('/', repo)"
+    # old-hierarchy roots are GONE (a stale '/py' bucket would match)
+    assert facet_subtree_docs(loaded, "/py").count() == 0
+    assert _docs(facet_subtree_docs(loaded, "/r0")) == {
+        d_ for d_, r in REPO.items() if r == "r0"
+    }
+    assert _docs(facet_subtree_docs(loaded, "/")) == set(LANG)

@@ -308,7 +308,7 @@ def test_compact_index_roundtrip(spark, micro_corpus, micro_index, tmpdir):
     from sparktext.manifest import compact_index, load_index
     from sparktext.query import facet_subtree_docs
 
-    d = str(tmpdir.join("idx"))
+    d = os.path.join(str(tmpdir), "idx")
     build_index(spark, micro_corpus, num_segments=4, index_dir=d,
                 num_groups=2, with_positions=True)
     with_facets(load_index(spark, d), "concat('/', lang, '/', repo)", index_dir=d)

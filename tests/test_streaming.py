@@ -57,3 +57,54 @@ def test_stream_ingest_incremental(spark, micro_corpus, micro_index, tmpdir):
     q = stream_ingest(spark, idx_dir, src_dir, num_segments=2)
     q.awaitTermination()
     assert spark.read.parquet(f"{idx_dir}/_manifest").count() == n_groups
+
+
+def test_stream_identical_content_batches_both_append(spark, micro_corpus, tmpdir):
+    """Two DISTINCT micro-batches carrying identical rows must BOTH
+    index (the commit_token distinguishes a new batch from a crash
+    replay of the previous one — content fingerprints alone cannot)."""
+    from sparktext.build import build_index
+    from sparktext.manifest import load_index
+    from sparktext.streaming import stream_ingest
+
+    idx_dir = str(tmpdir.join("idx2"))
+    src_dir = str(tmpdir.join("feed2"))
+    os.makedirs(src_dir, exist_ok=True)
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    build_index(spark, first, num_segments=2, index_dir=idx_dir, num_groups=1)
+
+    wave = micro_corpus.filter(F.col("doc_id") >= 6)
+    wave.coalesce(1).write.mode("append").parquet(src_dir)
+    stream_ingest(spark, idx_dir, src_dir, num_segments=2).awaitTermination()
+    assert load_index(spark, idx_dir).stats.num_docs == 12
+
+    # same CONTENT again, as a new file -> a new batch -> must append
+    wave.coalesce(1).write.mode("append").parquet(src_dir)
+    stream_ingest(spark, idx_dir, src_dir, num_segments=2).awaitTermination()
+    assert load_index(spark, idx_dir).stats.num_docs == 18
+
+
+def test_compaction_preserves_stream_checkpoint(spark, micro_corpus, tmpdir):
+    """compact_index must carry the streaming checkpoint across its
+    directory swap — losing it would replay the whole source as new
+    docs on the next stream_ingest run."""
+    from sparktext.build import build_index
+    from sparktext.manifest import compact_index, load_index
+    from sparktext.streaming import stream_ingest
+
+    idx_dir = str(tmpdir.join("idx3"))
+    src_dir = str(tmpdir.join("feed3"))
+    os.makedirs(src_dir, exist_ok=True)
+    build_index(spark, micro_corpus.filter(F.col("doc_id") < 6),
+                num_segments=2, index_dir=idx_dir, num_groups=1)
+    micro_corpus.filter(F.col("doc_id") >= 6).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    stream_ingest(spark, idx_dir, src_dir, num_segments=2).awaitTermination()
+    assert load_index(spark, idx_dir).stats.num_docs == 12
+
+    compact_index(spark, idx_dir, num_segments=2)
+    assert os.path.exists(os.path.join(idx_dir, "_stream_checkpoint"))
+    # nothing new in the source: a drained re-run must NOT re-ingest
+    stream_ingest(spark, idx_dir, src_dir, num_segments=2).awaitTermination()
+    assert load_index(spark, idx_dir).stats.num_docs == 12
+    assert spark.read.parquet(f"{idx_dir}/_manifest").count() == 1
