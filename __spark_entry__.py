@@ -307,6 +307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10, round_decimals=4,
         )
 
+    def agg_facet_matched(spark, sf_dir):
+        # Composition: facet-subtree matched set -> C7 terms buckets
+        # (the "filter by category, facet the rest" UI query).
+        from sparktext.query import facet_subtree_docs
+
+        idx = _facet_index(spark, sf_dir)
+        mm = facet_subtree_docs(idx, "/en").join(idx.doc_meta, "doc_id")
+        return terms_agg(mm, "repo", size=5, sub_aggs=[SumAgg("n_chars")])
+
     def agg_cardinality(spark, sf_dir):
         from sparktext.aggs import CardinalityAgg
 
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_subtree": search_facet_subtree,
         "search_batch_boosted": search_batch_boosted,
         "search_quoted": search_quoted,
+        "agg_facet_matched": agg_facet_matched,
         "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
     }
@@ -567,6 +577,11 @@ SELECT lang, repo, count FROM b3 WHERE rn2 <= 2""",
             "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en' "
             "ORDER BY doc_id"
         ),
+        "agg_facet_matched": """
+SELECT source AS repo, COUNT(*) AS count,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars
+FROM documents WHERE lang = 'en'
+GROUP BY source ORDER BY count DESC, repo ASC LIMIT 5""",
         "search_quoted": f"""
 WITH tokp AS (SELECT doc_id,
        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
