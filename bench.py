@@ -72,6 +72,10 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    # host attribution wraps the BUILD phases too (round-4 verdict: the
+    # r4 driver run's index_build swing was unattributable because only
+    # run() ops carried a host_busy row).
+    b0, tj0 = _host_stat()
     t0 = time.time()
     index = build_index(spark, corpus, num_segments=int(cpus))
     # Materialize every index table (build is lazy until actioned).
@@ -80,6 +84,9 @@ def main() -> None:
     index.doc_meta.count()
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 3)
+    b1, tj1 = _host_stat()
+    if tj1 > tj0:
+        host_attr["index_build"] = round((b1 - b0) / (tj1 - tj0), 3)
 
     def run(name, fn):
         # Per-op host attribution (round-3 verdict: unattributed bench
@@ -145,10 +152,18 @@ def main() -> None:
     from sparktext.corpus import skewed_impact_corpus
 
     zn = int(os.environ.get("SPARK_GRAFT_ZIPF_N", "500000"))
+    b0, tj0 = _host_stat()
+    zt0 = time.time()
     zidx = build_index(
         spark, skewed_impact_corpus(spark, zn), num_segments=int(cpus)
     )
     zidx.postings.count()
+    zipf_build_s = round(time.time() - zt0, 3)
+    b1, tj1 = _host_stat()
+    if tj1 > tj0:
+        # NOT in `timings` (keeps the headline total comparable across
+        # rounds) — recorded as its own extras key below.
+        host_attr["zipf_build"] = round((b1 - b0) / (tj1 - tj0), 3)
     zq = ["alpha", "beta", "gamma"]
     zsm = term_stats(zidx, zq)
     zipf_total = postings_for_terms(zidx, zq, zsm).count()
@@ -220,6 +235,7 @@ def main() -> None:
         "wand_blocks_total": wand_total,
         "wand_blocks_kept": wand_kept,
         "zipf_n_docs": zn,
+        "zipf_build_sec": zipf_build_s,
         "zipf_blocks_total": zipf_total,
         "zipf_blocks_kept": zipf_kept,
         "host_busy_frac": host_attr,

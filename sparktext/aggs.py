@@ -436,7 +436,15 @@ def agg_search(
     meta_cols = _needed_meta_columns(
         index.doc_meta.columns, metric_aggs, bucket_aggs, post_filter
     )
-    enriched = matched.join(index.doc_meta.select(*meta_cols), "doc_id").persist()
+    if meta_cols == ["doc_id"]:
+        # hits-only (no aggs, no post_filter): nothing is read from
+        # doc_meta, so the row-preserving join would only add a shuffle
+        # — persist the matched set directly.
+        enriched = matched.persist()
+    else:
+        enriched = matched.join(
+            index.doc_meta.select(*meta_cols), "doc_id"
+        ).persist()
 
     hit_src = enriched.filter(post_filter) if post_filter else enriched
     out: dict[str, DataFrame] = {

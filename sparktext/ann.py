@@ -93,7 +93,7 @@ def lsh_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share a hyperplane-sign
     bucket (equi-join on bucket id — shuffles by bucket, never a cross
@@ -108,8 +108,9 @@ def lsh_cosine_pairs(
     goes quadratic. Buckets larger than ``max_bucket`` are dropped — a
     documented recall trade; members of a dropped bucket are
     overwhelmingly EXACT duplicates, which the scale pipeline must remove
-    (exact dedup on a vector hash) BEFORE near-dup LSH. ALWAYS set it on
-    real corpora (e.g. 1000)."""
+    (exact dedup on a vector hash) BEFORE near-dup LSH. Defaults ON so
+    production callers inherit the linear shape; pass ``None`` only for
+    exhaustive small-scale comparisons."""
     dim = len(df.select(emb_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(

@@ -64,6 +64,117 @@ from sparktext.build import (
 )
 
 
+class WriterLockHeld(RuntimeError):
+    """Another writer (append/compact/stream batch) holds the index's
+    single-writer lock. Retry after it finishes — concurrent writers
+    racing compaction's directory swap can land data in a directory
+    about to be deleted."""
+
+
+class _writer_lock:
+    """Single-writer guard shared by :func:`append_documents` and
+    :func:`compact_index` (and, through append, every streaming
+    micro-batch): a JSON lock file BESIDE the index directory — it must
+    survive compaction's renames of the directory itself — acquired
+    with ``O_CREAT|O_EXCL``. A live holder raises
+    :class:`WriterLockHeld` (fail-fast, callers retry after the swap);
+    a stale lock whose pid is dead is broken with a warning. This
+    enforces the contract the compaction swap protocol assumes: no
+    append may land between ``base -> old`` and ``tmp -> base`` (it
+    would write into a directory that is about to be rmtree'd)."""
+
+    def __init__(self, index_dir: str, op: str):
+        self.path = index_dir.rstrip("/") + ".writer_lock"
+        self.op = op
+
+    def __enter__(self):
+        import warnings
+
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                pid = None
+                try:
+                    with open(self.path) as f:
+                        pid = json.load(f).get("pid")
+                except (OSError, ValueError):
+                    pass
+                if pid is not None and os.path.exists(f"/proc/{pid}"):
+                    raise WriterLockHeld(
+                        f"index writer lock {self.path!r} held by live "
+                        f"pid {pid}; retry after the current writer "
+                        f"(append/compact) finishes"
+                    )
+                warnings.warn(
+                    f"breaking stale index writer lock {self.path!r} "
+                    f"(holder pid {pid} is dead)"
+                )
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+        os.write(fd, json.dumps(
+            {"pid": os.getpid(), "op": self.op, "ts": time.time()}
+        ).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def _fp_sum_agg():
+    """Order-insensitive input fingerprint aggregate: per-row xxhash64
+    over the content sha AND the metadata columns, summed in unbounded
+    decimal (ANSI-safe) and folded to a long. Metadata is folded in
+    because the fingerprint gates the append crash-retry skip: sha
+    alone (= sha256(content)) could not tell a crash replay from a new
+    batch carrying identical content under DIFFERENT repo/path/commit
+    metadata — that batch's metadata would silently never be indexed."""
+    return F.pmod(
+        F.sum(
+            F.xxhash64("sha", "repo", "path", "commit", "lang")
+            .cast("decimal(38,0)")
+        ),
+        F.lit(2**62),
+    ).cast("long")
+
+
+def _recover_torn_swap(base: str) -> None:
+    """Complete (or roll back) a compaction swap a crash tore in half.
+    MUST be called holding the writer lock. Crash between the two
+    renames: the live dir is missing but tmp carries ``_COMPACT_DONE``
+    — finish the swap (tmp is a complete index incl. the staged
+    streaming checkpoint). Crash before the first rename completed the
+    second: the old dir alone remains — restore it."""
+    if os.path.exists(base):
+        return
+    tmp, old = base + ".compact_tmp", base + ".compact_old"
+    if os.path.exists(os.path.join(tmp, "_COMPACT_DONE")):
+        os.rename(tmp, base)
+    elif os.path.exists(old):
+        os.rename(old, base)  # pre-rename crash left the old dir
+    else:
+        raise ValueError(f"{base!r} holds no index")
+
+
+def _salvage_stream_checkpoint(src_dir: str, dst_dir: str) -> None:
+    """Move ``src_dir``'s streaming-ingest checkpoint into ``dst_dir``
+    unless one is already there — exactly-once STATE, not index data;
+    every path that deletes a superseded index directory must salvage
+    it first or the next stream_ingest replays the whole source."""
+    s = os.path.join(src_dir, "_stream_checkpoint")
+    d = os.path.join(dst_dir, "_stream_checkpoint")
+    if os.path.exists(s) and not os.path.exists(d):
+        os.rename(s, d)
+
+
 def _read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
     path = os.path.join(index_dir, "_manifest")
     try:
@@ -254,13 +365,8 @@ def build_persistent_index(
         )
         _overwrite_group(dm, doc_meta_path, ["group_id"])
 
-        # Order-insensitive input fingerprint: sum of per-row hashes in
-        # unbounded decimal (ANSI-safe), folded back into a long.
         agg = sub.agg(
-            F.count("*").alias("n"),
-            F.pmod(
-                F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62)
-            ).cast("long").alias("fp"),
+            F.count("*").alias("n"), _fp_sum_agg().alias("fp"),
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
         man_row = spark.createDataFrame(
@@ -355,7 +461,30 @@ def append_documents(
     same attempt is still repaired. The token is recorded in the
     manifest row's ``build_id`` column. An index left un-retried after a
     crashed append should not be served: either its orphans carry no
-    manifest row or its term_dict predates the last group."""
+    manifest row or its term_dict predates the last group.
+
+    Concurrency: appends take the index's single-writer lock; a live
+    :func:`compact_index` (or another append) raises
+    :class:`WriterLockHeld` — fail fast, retry after the swap."""
+    with _writer_lock(index_dir, "append"):
+        # A crash mid-compaction-swap leaves the live dir missing with a
+        # complete tmp (or old) beside it; finish that swap here rather
+        # than failing on the missing directory — the batch then appends
+        # onto the recovered index, losing nothing.
+        _recover_torn_swap(index_dir.rstrip("/"))
+        return _append_documents_locked(
+            spark, index_dir, new_corpus, num_segments, force, commit_token
+        )
+
+
+def _append_documents_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    num_segments: int | None,
+    force: bool,
+    commit_token: str | None,
+) -> Index:
     import math
 
     from sparktext.fieldnorm import fieldnorm_to_id
@@ -409,10 +538,7 @@ def append_documents(
         ((F.col("doc_id") - F.lit(base_doc)) / F.lit(seg_size)).cast("int") + F.lit(base_seg),
     ).withColumn("group_id", F.lit(g)).persist()
 
-    fp = corpus.agg(
-        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
-        .cast("long").alias("fp")
-    ).collect()[0]["fp"]
+    fp = corpus.agg(_fp_sum_agg().alias("fp")).collect()[0]["fp"]
     last = (
         manifest0.filter(F.col("status") == "complete")
         .orderBy(F.desc("group_id"))
@@ -433,7 +559,20 @@ def append_documents(
         # — this is a retry after a crash in the post-commit window
         # (manifest row durable, term_dict/stats possibly stale). Repair
         # by re-running the idempotent finalize; do NOT append the docs
-        # again under a new group id.
+        # again under a new group id. Loud by design: a caller whose
+        # batch was NOT a crash retry must hear that it was dropped
+        # (pass force=True or a fresh commit_token to append anyway).
+        import warnings
+
+        warnings.warn(
+            f"append_documents({index_dir!r}): batch of {n_new} docs has "
+            f"the same content+metadata fingerprint"
+            + ("" if commit_token is None
+               else f" and commit_token {commit_token!r}")
+            + " as the last committed group — treating it as a crash "
+            "retry: repairing finalize, NOT appending again "
+            "(force=True overrides)"
+        )
         _finalize(spark, index_dir, n_buckets, int(last["num_segments"]), build_id)
         geometry_path = os.path.join(index_dir, "geometry.json")
         if os.path.exists(geometry_path):
@@ -609,20 +748,36 @@ def compact_index(
     missing but tmp carries the marker — the next :func:`compact_index`
     (or any caller hitting the missing dir) completes the swap; the
     recovery path runs FIRST on every invocation.
+
+    The streaming-ingest checkpoint (``_stream_checkpoint``) is
+    exactly-once STATE: it is COPIED into tmp before the completion
+    marker (so the swapped-in dir always carries it) and salvaged out
+    of any superseded directory before deletion — losing it would make
+    the next stream_ingest replay the whole source as duplicates.
+
+    Concurrency: holds the index's single-writer lock for the whole
+    merge+swap; concurrent :func:`append_documents` (including
+    streaming micro-batches) fail fast with :class:`WriterLockHeld`
+    instead of racing the directory swap.
     """
+    with _writer_lock(index_dir, "compact"):
+        return _compact_index_locked(spark, index_dir, num_segments,
+                                     recompute_stats)
+
+
+def _compact_index_locked(
+    spark: SparkSession,
+    index_dir: str,
+    num_segments: int,
+    recompute_stats: bool,
+) -> Index:
     import shutil
 
     base = index_dir.rstrip("/")
     tmp, old = base + ".compact_tmp", base + ".compact_old"
-    # --- recovery of a torn previous swap --------------------------------
-    if not os.path.exists(base):
-        if os.path.exists(os.path.join(tmp, "_COMPACT_DONE")):
-            os.rename(tmp, base)
-        elif os.path.exists(old):
-            os.rename(old, base)  # pre-rename crash left the old dir
-        else:
-            raise ValueError(f"{base!r} holds no index")
+    _recover_torn_swap(base)
     shutil.rmtree(tmp, ignore_errors=True)
+    _salvage_stream_checkpoint(old, base)
     shutil.rmtree(old, ignore_errors=True)
 
     from sparktext.merge import merge_segments
@@ -664,8 +819,7 @@ def compact_index(
 
     srow = dm.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("tt"),
-        F.pmod(F.sum(F.xxhash64("sha").cast("decimal(38,0)")), F.lit(2**62))
-        .cast("long").alias("fp"),
+        _fp_sum_agg().alias("fp"),
     ).collect()[0]
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump({
@@ -692,17 +846,22 @@ def compact_index(
         "stage string, group_id int, rows long, wall_ms long, build_id string",
     )
     met.write.parquet(os.path.join(tmp, "_metrics"))
+    # Stage the streaming checkpoint into tmp BEFORE the marker: once
+    # _COMPACT_DONE exists, tmp may be swapped in by recovery after any
+    # crash — it must already be a complete index INCLUDING the
+    # exactly-once state (a crash between the two renames used to strand
+    # the checkpoint in the doomed old dir).
+    live_ckpt = os.path.join(base, "_stream_checkpoint")
+    if os.path.exists(live_ckpt):
+        shutil.copytree(live_ckpt, os.path.join(tmp, "_stream_checkpoint"))
     with open(os.path.join(tmp, "_COMPACT_DONE"), "w") as f:
         f.write(build_id)
 
     merged.unpersist()
     os.rename(base, old)
     os.rename(tmp, base)
-    # Preserve the streaming-ingest checkpoint (sparktext.streaming):
-    # it is exactly-once STATE, not index data — dropping it would make
-    # the next stream_ingest replay the entire source as new documents.
-    ckpt = os.path.join(old, "_stream_checkpoint")
-    if os.path.exists(ckpt):
-        os.rename(ckpt, os.path.join(base, "_stream_checkpoint"))
+    # tmp carried the checkpoint copy; the salvage is a no-op here and
+    # covers only pre-staging layouts.
+    _salvage_stream_checkpoint(old, base)
     shutil.rmtree(old, ignore_errors=True)
     return load_index(spark, base)

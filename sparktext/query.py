@@ -150,6 +150,11 @@ def postings_for_terms(index, terms: list[str], stats_map: dict | None = None) -
 #: with decode volume, so the gate is set at the measured crossover.
 WAND_MIN_POSTINGS = 16_000_000
 
+#: Cap on how many times one term may repeat inside a sloppy phrase:
+#: the exact injective matcher (Hall's condition, see phrase_docs)
+#: builds 2^c - 1 column exprs per repeated term.
+MAX_PHRASE_TERM_REPEATS = 8
+
 
 def matched_docs(
     index,
@@ -188,6 +193,12 @@ def matched_docs(
         and candidate_postings >= wand_min_postings
         # ub * boost bounds the boosted partial only for positive boosts
         and all(b > 0 for b in query.boosts.values())
+        # tombstones: theta is seeded from raw postings, so deleted docs
+        # would inflate it above the true k-th best ALIVE score and prune
+        # blocks holding real results. Deletes are transient (purged at
+        # merge), so the exhaustive plan is the correct cost call here
+        # rather than threading an anti-join through both seed paths.
+        and index.deleted is None
     ):
         from sparktext.score import wand_blocks_for_query
 
@@ -356,6 +367,20 @@ def phrase_docs(index, phrase_terms: list[str], slop: int = 0) -> DataFrame:
         slots: dict[str, list[int]] = {}
         for i, t in enumerate(phrase_terms):
             slots.setdefault(t, []).append(i)
+        # Hall's condition enumerates 2^c - 1 subset exprs for a term
+        # repeated c times: unbounded, a crafted query string repeating
+        # one token ~20x would build ~1M filter expressions and hang the
+        # driver / blow codegen before any job runs (query-triggered
+        # DoS). 8 repeats (255 exprs) is far beyond any real phrase;
+        # refuse loudly above it.
+        max_rep = max(len(v) for v in slots.values())
+        if max_rep > MAX_PHRASE_TERM_REPEATS:
+            raise ValueError(
+                f"sloppy phrase repeats a term {max_rep}x; the exact "
+                f"injective matcher enumerates 2^c-1 subset conditions "
+                f"per repeated term and is capped at "
+                f"{MAX_PHRASE_TERM_REPEATS} repeats"
+            )
 
         def _window_fn(offsets: list[int], p0):
             # closure FACTORY: the inner lambda must stay unary (a

@@ -23,6 +23,15 @@ end-to-end:
 source and stops — the batch-job-with-streaming-semantics mode used for
 scheduled incremental index refreshes; omit it for a continuously
 running ingest.
+
+Compaction interplay: ``append_documents`` holds the index's
+single-writer lock, so a micro-batch that lands while
+:func:`sparktext.manifest.compact_index` is swapping directories fails
+fast with ``WriterLockHeld`` (failing the streaming query) instead of
+writing into a directory about to be deleted. Restarting the stream
+after the compaction replays that batch from the checkpoint — which
+compaction carries across its directory swap — and the batch's
+``commit_token`` keeps the replay exactly-once.
 """
 
 from __future__ import annotations

@@ -46,6 +46,13 @@ LANG_MARKERS = {
 # PRODUCTION_MINHASH_H/BANDS (128 perms / 16 bands of 8: the standard
 # ~0.8-Jaccard knee) by passing them explicitly; both paths are the same
 # code, parameterized.
+#: Default mega-bucket cap for BOTH LSH pair generators (here and
+#: sparktext.ann.lsh_cosine_pairs): a bucket of n members expands to
+#: n*(n-1)/2 pairs, so an uncapped default hands integrators the
+#: quadratic blow-up the docstrings warn about. Oracle/exhaustive twins
+#: opt out with max_bucket=None explicitly.
+DEFAULT_MAX_BUCKET = 1000
+
 MINHASH_H = 6  # hash functions
 MINHASH_BANDS = 3  # bands of 2 -> candidate pairs need 2 matching sigs
 PRODUCTION_MINHASH_H = 128
@@ -239,7 +246,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     hash_fn: str = "sha256",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b).
@@ -259,7 +266,9 @@ def lsh_candidate_pairs(
     documented recall trade: members of a dropped bucket are
     overwhelmingly EXACT duplicates, which the scale pipeline must remove
     with :func:`exact_dedup` BEFORE near-dup LSH — run exact first, then
-    LSH with a cap, e.g. 1000). ALWAYS set it on real corpora.
+    LSH with a cap). The cap defaults ON (``DEFAULT_MAX_BUCKET``) so
+    production callers inherit the linear shape; pass ``None`` only for
+    exhaustive small-scale twins (the oracle paths do, explicitly).
     """
     sig = minhash_signatures(docs, text_col, h, hash_fn=hash_fn)
     rows_per_band = h // bands
@@ -299,14 +308,16 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.0,
-    hash_fn: str = "sha256",
+    hash_fn: str = "sha256", max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity, computed ONLY for LSH candidate
-    pairs (never all-pairs): |A∩B| / |A∪B| over distinct 3-gram shingles."""
+    pairs (never all-pairs): |A∩B| / |A∪B| over distinct 3-gram shingles.
+    ``max_bucket`` passes through to :func:`lsh_candidate_pairs`."""
     sh = docs.select(
         "doc_id", shingles_col(tokens_col(F.col(text_col))).alias("sh")
     )
-    pairs = lsh_candidate_pairs(docs, text_col, hash_fn=hash_fn)
+    pairs = lsh_candidate_pairs(docs, text_col, hash_fn=hash_fn,
+                                max_bucket=max_bucket)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -416,10 +427,16 @@ def queries():
         return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def minhash_pairs_q(spark, sf_dir):
-        return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        # max_bucket=None: the DuckDB oracle SQL has no cap, so the
+        # exhaustive twin opts out of the production default explicitly.
+        return lsh_candidate_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), max_bucket=None
+        )
 
     def jaccard_pairs_q(spark, sf_dir):
-        return ngram_jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        return ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), max_bucket=None
+        )
 
     def simhash_q(spark, sf_dir):
         return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))

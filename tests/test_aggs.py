@@ -321,3 +321,27 @@ def test_facet_depth_validation(spark):
         facet_prefixes_col(F.lit("/a/b"), depth=-1)
     df = spark.range(1).select(facet_prefixes_col(F.lit("/a/b"), depth=1).alias("p"))
     assert df.collect()[0]["p"] == ["/a"]
+
+
+def test_agg_search_hits_only_skips_meta_join(micro_index):
+    """Hits-only agg_search reads nothing from doc_meta: the matched set
+    is persisted directly — no join node in the plan — and the hits
+    equal the plain top_k path."""
+    from sparktext.aggs import agg_search
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    out = agg_search(micro_index, "heavy", k=3)
+    try:
+        plan = out["hits"]._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in top_k(
+                matched_docs(micro_index, parse_query("heavy")), 3
+            ).collect()
+        ]
+        got = [(r["doc_id"], round(r["score"], 9)) for r in out["hits"].collect()]
+        assert got == want
+    finally:
+        out["release"]()

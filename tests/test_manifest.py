@@ -342,3 +342,159 @@ def test_compact_index_roundtrip(spark, micro_corpus, micro_index, tmpdir):
     assert idx4.stats.num_docs == 12
     assert idx4.positions is not None
     assert spark.read.parquet(f"{d}/_manifest").count() == 1
+
+
+def test_writer_lock_blocks_concurrent_append(spark, micro_corpus, tmpdir):
+    """Single-writer guard: an append launched while a compaction (or
+    another append) holds the lock fails fast with WriterLockHeld and
+    neither loses nor duplicates the batch — after the holder releases,
+    the same append commits exactly once."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import WriterLockHeld, _writer_lock, append_documents
+
+    d = os.path.join(str(tmpdir), "idx")
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=d, num_groups=1)
+
+    with _writer_lock(d, "compact"):  # live holder: this very pid
+        with pytest.raises(WriterLockHeld):
+            append_documents(spark, d, second, num_segments=2)
+    # nothing was lost: index untouched, lock released, retry commits
+    assert spark.read.parquet(f"{d}/doc_meta").count() == 6
+    idx = append_documents(spark, d, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+    assert spark.read.parquet(f"{d}/_manifest").count() == 2
+    # the lock file is gone after a successful append
+    assert not os.path.exists(d + ".writer_lock")
+
+
+def test_stale_writer_lock_is_broken(spark, micro_corpus, tmpdir):
+    """A lock whose holder pid is dead must not wedge the index."""
+    import json as _json
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    d = os.path.join(str(tmpdir), "idx")
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=d, num_groups=1)
+    with open(d + ".writer_lock", "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "op": "compact", "ts": 0}, f)
+    with pytest.warns(UserWarning, match="stale"):
+        idx = append_documents(spark, d, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+
+
+def test_append_skip_warns_and_metadata_change_appends(
+    spark, micro_corpus, tmpdir
+):
+    """The crash-retry skip is LOUD, and it no longer swallows a batch
+    whose content matches but whose metadata differs: the fingerprint
+    folds repo/path/commit/lang, so only a true replay (same content AND
+    metadata, or same commit_token) is treated as a crashed retry."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    d = os.path.join(str(tmpdir), "idx")
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=d, num_groups=1)
+    append_documents(spark, d, second, num_segments=2)
+
+    # exact replay (same content + metadata): skipped, loudly
+    with pytest.warns(UserWarning, match="crash retry"):
+        idx = append_documents(spark, d, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+
+    # same CONTENT under different metadata: a real new batch — appends
+    moved = second.withColumn("repo", F.lit("mirror")).withColumn(
+        "path", F.concat(F.lit("mirror/"), F.col("path"))
+    )
+    idx2 = append_documents(spark, d, moved, num_segments=2)
+    assert idx2.stats.num_docs == 18
+    assert spark.read.parquet(f"{d}/_manifest").count() == 3
+
+
+def test_compaction_carries_stream_checkpoint(spark, micro_corpus, tmpdir):
+    """The streaming checkpoint survives (a) a clean compaction, (b) a
+    crash between the two swap renames — the window that used to strand
+    it in the doomed .compact_old dir — and (c) a pre-staging torn swap
+    where only the old dir still holds it."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import compact_index
+
+    d = os.path.join(str(tmpdir), "idx")
+    build_index(spark, micro_corpus, num_segments=4, index_dir=d, num_groups=2)
+    ck = os.path.join(d, "_stream_checkpoint")
+    os.makedirs(os.path.join(ck, "offsets"))
+    with open(os.path.join(ck, "offsets", "0"), "w") as f:
+        f.write("batch-0-state")
+
+    # (a) clean compaction
+    compact_index(spark, d, num_segments=2)
+    with open(os.path.join(ck, "offsets", "0")) as f:
+        assert f.read() == "batch-0-state"
+
+    # (b) crash between rename(base, old) and rename(tmp, base): tmp is
+    # a complete index CARRYING the staged checkpoint copy. Reproduce by
+    # replaying compaction's end state by hand.
+    shutil.copytree(d, d + ".compact_tmp")
+    with open(d + ".compact_tmp/_COMPACT_DONE", "w") as f:
+        f.write("x")
+    os.rename(d, d + ".compact_old")
+    idx = compact_index(spark, d, num_segments=2)
+    assert idx.stats.num_docs == 12
+    with open(os.path.join(ck, "offsets", "0")) as f:
+        assert f.read() == "batch-0-state"
+    assert not os.path.exists(d + ".compact_old")
+
+    # (c) pre-staging layout: tmp lacks the checkpoint, old has it
+    shutil.copytree(d, d + ".compact_tmp")
+    shutil.rmtree(d + ".compact_tmp/_stream_checkpoint")
+    with open(d + ".compact_tmp/_COMPACT_DONE", "w") as f:
+        f.write("x")
+    os.rename(d, d + ".compact_old")
+    idx = compact_index(spark, d, num_segments=2)
+    assert idx.stats.num_docs == 12
+    with open(os.path.join(ck, "offsets", "0")) as f:
+        assert f.read() == "batch-0-state"
+
+
+def test_append_recovers_torn_compaction_swap(spark, micro_corpus, tmpdir):
+    """An append hitting the missing-base/tmp-complete torn state (crash
+    between compaction's renames) completes the swap under the lock and
+    then commits the batch — no lost index, no lost batch."""
+    import os
+
+    from sparktext.build import build_index
+    from sparktext.manifest import append_documents
+
+    d = os.path.join(str(tmpdir), "idx")
+    first = micro_corpus.filter(F.col("doc_id") < 6)
+    second = micro_corpus.filter(F.col("doc_id") >= 6).withColumn(
+        "doc_id", F.col("doc_id") - 6
+    )
+    build_index(spark, first, num_segments=2, index_dir=d, num_groups=1)
+    os.rename(d, d + ".compact_tmp")
+    with open(d + ".compact_tmp/_COMPACT_DONE", "w") as f:
+        f.write("x")
+
+    idx = append_documents(spark, d, second, num_segments=2)
+    assert idx.stats.num_docs == 12
+    assert spark.read.parquet(f"{d}/doc_meta").count() == 12
+    assert not os.path.exists(d + ".compact_tmp")

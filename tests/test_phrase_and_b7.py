@@ -286,3 +286,18 @@ def test_quoted_phrase_boolean_composition(pos_index):
     # missing-term phrase matches nothing; as must -> empty
     assert docs('+"apple zzzmissing" banana') == set()
     assert docs('"apple zzzmissing" banana') == docs("banana")
+
+
+def test_sloppy_phrase_repeat_cap(pos_index):
+    """Hall's-condition subset enumeration is exponential in per-term
+    repeats; a crafted query repeating one token many times must be
+    refused before any expression building (driver DoS guard)."""
+    from sparktext.query import MAX_PHRASE_TERM_REPEATS, phrase_docs
+
+    terms = ["apple"] * (MAX_PHRASE_TERM_REPEATS + 1)
+    with pytest.raises(ValueError, match="repeats"):
+        phrase_docs(pos_index, terms, slop=2)
+    # at the cap itself the matcher still runs (and matches nothing on
+    # docs holding fewer than cap occurrences)
+    ok = phrase_docs(pos_index, ["apple"] * MAX_PHRASE_TERM_REPEATS, slop=2)
+    assert ok.count() == 0

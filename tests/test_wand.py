@@ -173,3 +173,31 @@ def test_wand_on_persisted_index(spark, micro_corpus, tmpdir):
                       index_dir=str(tmpdir), num_groups=2)
     for qstr, k in [("heavy", 3), ("apple banana", 5), ("+heavy apple", 4)]:
         assert _topk(idx, qstr, k, False) == _topk(idx, qstr, k, True), qstr
+
+
+def test_wand_with_tombstones_falls_back_and_matches(micro_index):
+    """Tombstones poison the theta seed (deleted docs can hold the
+    seeded k-th best score, inflating theta and pruning blocks of real
+    results), so matched_docs must route deleted-carrying indexes to
+    the exhaustive plan — results identical to exhaustive, deleted docs
+    absent, even with wand_min_postings=0 forcing the pruning branch."""
+    # 'heavy' top docs include doc 2 (tf=3) and 7; delete the top doc so
+    # a stale theta would provably overshoot the best alive score.
+    full = _topk(micro_index, "heavy", 3, True)
+    victim = full[0][0]
+    spark = micro_index.postings.sparkSession
+    idx = micro_index.with_deletes(
+        spark.createDataFrame([(victim,)], "doc_id long")
+    )
+    try:
+        pruned = _topk(idx, "heavy", 3, False)
+        exhaustive = _topk(idx, "heavy", 3, True)
+        assert pruned == exhaustive
+        assert all(d != victim for d, _ in pruned)
+        # the fallback is the reason: the pruned-plan marker is absent
+        from sparktext.query import matched_docs as md, parse_query as pq
+        plan = md(idx, pq("heavy"), exhaustive=False, k=3,
+                  wand_min_postings=0)._jdf.queryExecution().analyzed().toString()
+        assert "wand_pruned" not in plan
+    finally:
+        idx.deleted.unpersist()
