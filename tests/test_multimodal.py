@@ -152,8 +152,8 @@ def test_degenerate_images_degrade_to_zero_vector():
 
 def _encode_png(img, color_type=2, filters=None):
     """Minimal PNG writer for tests: 8-bit, chosen per-row filter types
-    (0=None, 1=Sub, 2=Up) applied per the spec so the decoder's
-    unfilter paths are each exercised."""
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) applied per the spec so
+    the decoder's unfilter paths are each exercised."""
     import struct
     import zlib
 
@@ -172,6 +172,21 @@ def _encode_png(img, color_type=2, filters=None):
             filt = (line - shifted) % 256
         elif f == 2:
             filt = (line - prev) % 256
+        elif f in (3, 4):
+            # forward filter needs the RECONSTRUCTED previous pixel,
+            # which for a lossless encode is just the original line
+            filt = np.zeros_like(line)
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (int(line[x]) - pred) % 256
         else:
             raise ValueError(f)
         raw.append(f)
@@ -203,7 +218,8 @@ def test_png_decode_matches_pixels_all_filters():
 
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
-    for filters in ([0] * 6, [1] * 6, [0, 2, 2, 1, 0, 2]):
+    for filters in ([0] * 6, [1] * 6, [0, 2, 2, 1, 0, 2],
+                    [3] * 6, [4] * 6, [0, 3, 4, 4, 3, 2]):
         data = _encode_png(img, filters=filters)
         out = decode_png(data)
         assert out.shape == (6, 5, 3)
@@ -270,3 +286,31 @@ def test_media_decoder_mixed_corpus(spark):
     assert all(v == 0 for v in feats[3])
     assert all(v == 0 for v in feats[4])
     assert all(v == 0 for v in feats[5])
+
+
+def test_png_paeth_rgba_and_slow_filter_cap():
+    """Paeth/Average on RGBA decodes bit-identically through the
+    list-scan path, and a slow-filtered image above the pixel budget is
+    refused (worker-stall guard) while a same-size fast-filtered one
+    decodes fine."""
+    import numpy as np
+    import pytest
+
+    from sparktext import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    out = mm.decode_png(_encode_png(rgba, color_type=6, filters=[4, 3, 4, 3, 4]))
+    assert (out == rgba[:, :, :3]).all()
+
+    big = rng.integers(0, 256, size=(3, 40, 3), dtype=np.uint8)
+    data_slow = _encode_png(big, filters=[4, 4, 4])
+    data_fast = _encode_png(big, filters=[1, 2, 0])
+    orig = mm.PNG_MAX_SLOW_FILTER_PIXELS
+    mm.PNG_MAX_SLOW_FILTER_PIXELS = 100
+    try:
+        with pytest.raises(ValueError, match="capped"):
+            mm.decode_png(data_slow)
+        assert (mm.decode_png(data_fast) == big).all()
+    finally:
+        mm.PNG_MAX_SLOW_FILTER_PIXELS = orig
