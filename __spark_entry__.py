@@ -295,6 +295,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "bb3": "+join filter^3"}
         return search_many(idx, qs, k=10, round_decimals=4)
 
+    def search_batch_phrase(spark, sf_dir):
+        # Quoted phrases inside a BATCH (round 5): phrase-carrying
+        # queries' term sides share ONE join-strategy pass, each
+        # distinct clause rides the positions index once, and the plain
+        # query in the same batch keeps the ordinary shared plan.
+        from sparktext.query import search_many
+
+        idx = _index(spark, sf_dir)
+        qs = {"p1": '"query window" spark', "p2": '"query window"',
+              "p3": "spark"}
+        return search_many(idx, qs, k=10, round_decimals=4)
+
     def search_quoted(spark, sf_dir):
         # B1 quoted-phrase syntax folded into the boolean evaluator:
         # must phrase + should term, scores summed over both clauses.
@@ -364,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boost": search_boost,
         "search_facet_subtree": search_facet_subtree,
         "search_batch_boosted": search_batch_boosted,
+        "search_batch_phrase": search_batch_phrase,
         "search_quoted": search_quoted,
         "agg_facet_matched": agg_facet_matched,
         "agg_cardinality": agg_cardinality,
@@ -677,5 +690,16 @@ SELECT COUNT(*) AS count, CAST(COALESCE(SUM(doc_len), 0) AS BIGINT) AS sum_doc_l
        AVG(CAST(n_chars AS DOUBLE)) AS n_chars_avg
 FROM matched JOIN dl USING (doc_id)""",
     }
+    # Batch-with-phrases: per-query SQL reuses the single-query oracle
+    # bodies verbatim (p1 = the quoted mixed query, p2 = the bare
+    # phrase, p3 = a plain BM25 query riding the same batch).
+    out["search_batch_phrase"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+        for qid, sql in [
+            ("p1", out["search_quoted"]),
+            ("p2", out["search_phrase"]),
+            ("p3", _bm25_topk(["spark"])),
+        ]
+    )
     out.update(textops.oracle_sql())
     return out

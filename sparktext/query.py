@@ -251,7 +251,7 @@ def matched_docs(
 
 def _compose_phrase_clauses(
     index, query: Query, grouped: DataFrame | None, stats_map: dict,
-    mn_present: list[str],
+    mn_present: list[str], phrase_cache: dict | None = None,
 ) -> DataFrame:
     """Fold quoted phrase clauses (B1 ``"a b"``/``"a b"~N`` syntax) into
     the boolean result — tantivy BooleanQuery semantics with phrase
@@ -275,7 +275,13 @@ def _compose_phrase_clauses(
     must_filters: list[DataFrame] = []
     antis: list[DataFrame] = []
     for terms, slop, occur in query.phrases:
-        pdf = phrase_docs(index, terms, slop)
+        if phrase_cache is not None:
+            ck = (tuple(terms), slop)
+            if ck not in phrase_cache:
+                phrase_cache[ck] = phrase_docs(index, terms, slop)
+            pdf = phrase_cache[ck]
+        else:
+            pdf = phrase_docs(index, terms, slop)
         if occur == "must_not":
             antis.append(pdf.select("doc_id"))
         else:
@@ -596,14 +602,22 @@ def search_many(
 
     spark = index.postings.sparkSession
     parsed = {qid: parse_query(qs) for qid, qs in queries.items()}
-    if any(q.phrases for q in parsed.values()):
-        # Batch plans share per-(doc, term) partials; phrase clauses need
-        # the positions index per clause. Not silently wrong — route
-        # phrase queries through matched_docs individually.
-        raise NotImplementedError(
-            "search_many does not support quoted phrase clauses; "
-            "run phrase queries individually via matched_docs/agg_search"
-        )
+    phrasey = {qid: q for qid, q in parsed.items() if q.phrases}
+    if phrasey:
+        # Mixed batch: phrase-carrying queries ride a dedicated branch
+        # (their TERM sides share one join-strategy pass, each distinct
+        # (phrase, slop) rides the positions index ONCE across the
+        # batch); the plain majority keeps the fully-shared plan below.
+        plain = {qid: qs for qid, qs in queries.items() if qid not in phrasey}
+        parts = [_search_many_phrases(index, phrasey, k, round_decimals)]
+        if plain:
+            parts.append(search_many(
+                index, plain, k, round_decimals, strategy, phase_walls
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     # Boosted clauses (term^N): both batch plans share per-(doc, term)
     # partials ACROSS queries, so boosts ride as per-(query, term)
     # multipliers applied AFTER the shared stage — a parallel boost
@@ -824,6 +838,24 @@ def _search_many_join(
     """
     from pyspark.sql import Window
 
+    grouped = _alive(index, _search_many_join_grouped(index, live, stats_map, terms))
+    if round_decimals is not None:
+        grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        grouped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _search_many_join_grouped(
+    index, live: dict[str, Query], stats_map: dict, terms: list[str]
+) -> DataFrame:
+    """Join-strategy core: (doc_id, query_id, score) rows with full
+    boolean semantics applied, BEFORE tombstone filtering, rounding and
+    per-query top-k — reused by the phrase batch branch, which must add
+    phrase score contributions ahead of the cut."""
     spark = index.postings.sparkSession
     term_id = {t: i for i, t in enumerate(terms)}
     decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
@@ -875,12 +907,83 @@ def _search_many_join(
         )
         .select("doc_id", "query_id", "score")
     )
-    grouped = _alive(index, grouped)
+    return grouped
+
+
+def _search_many_phrases(
+    index,
+    phrasey: dict[str, Query],
+    k: int,
+    round_decimals: int | None,
+) -> DataFrame:
+    """Batch branch for phrase-carrying queries (B1 ``"a b"``/``"a b"~N``
+    inside :func:`search_many` batches).
+
+    Sharing structure — phrases are rare per batch, so the design
+    shares the EXPENSIVE stages and accepts per-query driver-side plan
+    branches for the composition:
+
+    - the term sides of every phrase-carrying query are ONE
+      join-strategy pass over the shared decode
+      (:func:`_search_many_join_grouped`), not a scan per query;
+    - each distinct ``(phrase terms, slop)`` clause rides the positions
+      index ONCE per batch (clause-level dedup via a plan cache), no
+      matter how many queries quote it;
+    - per query, the proven single-query composer
+      (:func:`_compose_phrase_clauses`) folds phrase scores/filters into
+      its term-side rows — identical semantics to ``matched_docs``
+      (asserted in tests) — and one shared window applies the top-k cut
+      AFTER phrase contributions (a phrase can promote a doc into the
+      top k, so composing post-cut would be wrong).
+    """
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    all_terms = sorted({
+        t for q in phrasey.values() for t in q.scored_terms + q.must_not
+    })
+    stats_map = term_stats(index, all_terms)
+    live: dict[str, Query] = {}
+    need_terms: set[str] = set()
+    for qid, q in phrasey.items():
+        if any(t not in stats_map for t in q.must):
+            continue  # absent MUST term -> matches nothing, by definition
+        live[qid] = q
+        need_terms.update(t for t in q.scored_terms if t in stats_map)
+        need_terms.update(t for t in q.must_not if t in stats_map)
+    if not live:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    termful = {
+        qid: q for qid, q in live.items()
+        if any(t in stats_map for t in q.scored_terms)
+    }
+    grouped = None
+    if termful and need_terms:
+        grouped = _search_many_join_grouped(
+            index, termful, stats_map, sorted(need_terms)
+        )
+    phrase_cache: dict = {}
+    outs = []
+    for qid, q in live.items():
+        g_q = None
+        if qid in termful:
+            g_q = grouped.filter(F.col("query_id") == qid).select("doc_id", "score")
+        mn_present = sorted({t for t in q.must_not if t in stats_map})
+        res = _compose_phrase_clauses(
+            index, q, g_q, stats_map, mn_present, phrase_cache=phrase_cache
+        )
+        outs.append(res.select(
+            F.lit(qid).alias("query_id"), "doc_id", "score"
+        ))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
     if round_decimals is not None:
-        grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
+        out = out.withColumn("score", F.round(F.col("score"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        grouped.withColumn("_rn", F.row_number().over(w))
+        out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

@@ -123,3 +123,73 @@ def test_search_many_dedups_identical_queries(micro_index):
     assert set(got) == set(dup)
     for qid in dup:
         assert sorted(got[qid]) == singles[qid.split("#")[0]], qid
+
+
+PHRASE_QUERIES = {
+    "p_exact": '"apple banana"',
+    "p_slop": '"apple cherry"~3',
+    "p_mixed": '"apple banana" heavy',
+    "p_must_phrase": '+"apple banana" grape',
+    "p_not_phrase": 'heavy -"apple banana"',
+    "p_term_must": '+grape "apple banana"',
+    "p_shared": '"apple banana" unique',
+}
+
+
+def _individual_full(index, qstr, k):
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    rows = top_k(matched_docs(index, parse_query(qstr)), k).collect()
+    return [(r["doc_id"], round(r["score"], 9)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def pos_index_sm(spark, micro_corpus):
+    from sparktext.build import build_index
+
+    return build_index(spark, micro_corpus, num_segments=3, with_positions=True)
+
+
+def test_batch_phrases_equal_individual(pos_index_sm):
+    """Mixed batch with quoted phrases: every phrase shape (exact, slop,
+    phrase+terms, must-phrase, must_not-phrase, term-must+phrase) must
+    equal its single-query matched_docs result; plain queries in the
+    same batch ride the ordinary shared plan."""
+    from sparktext.query import search_many
+
+    batch = dict(PHRASE_QUERIES)
+    batch.update({"q_plain": "heavy", "q_bool": "+grape cherry"})
+    rows = search_many(pos_index_sm, batch, k=12).collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid in got:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+    for qid, qstr in batch.items():
+        assert got.get(qid, []) == _individual_full(pos_index_sm, qstr, 12), qid
+
+
+def test_batch_phrase_clause_shared_once(pos_index_sm):
+    """Two queries quoting the SAME phrase share one phrase_docs plan
+    (clause-level dedup in the phrase cache)."""
+    from sparktext import query as qmod
+
+    calls = []
+    orig = qmod.phrase_docs
+
+    def counting(index, terms, slop=0):
+        calls.append((tuple(terms), slop))
+        return orig(index, terms, slop)
+
+    qmod.phrase_docs = counting
+    try:
+        qmod.search_many(pos_index_sm, {
+            "a": '"apple banana" heavy',
+            "b": '"apple banana" grape',
+            "c": '"apple banana"~2',
+        }, k=5).collect()
+    finally:
+        qmod.phrase_docs = orig
+    # exact clause used by a+b computed once; slop variant is distinct
+    assert sorted(calls) == [(("apple", "banana"), 0), (("apple", "banana"), 2)]
