@@ -178,6 +178,26 @@ def main() -> None:
     run("q_or_zipf", lambda: zsearch(True))
     run("q_wand_zipf", lambda: zsearch(False))
 
+    # Batch block-max pruning (round 5): survivor-union counters + walls
+    # for a mixed pure-should batch on the skewed corpus — the scale
+    # evidence is blocks decoded, not local wall time.
+    from sparktext.query import parse_query as _pq
+    from sparktext.query import search_many as _sm
+    from sparktext.score import wand_blocks_for_batch
+
+    zqs = {
+        "zb0": "alpha", "zb1": "beta", "zb2": "gamma",
+        "zb3": "alpha beta", "zb4": "beta gamma",
+        "zb5": "alpha beta gamma", "zb6": "alpha^2 gamma",
+    }
+    zlive = {qid: _pq(qs) for qid, qs in zqs.items()}
+    zb = wand_blocks_for_batch(zidx, zlive, 10, zsm, zq, 0)
+    zipf_batch_kept = zb.count() if zb is not None else zipf_total
+    run("q_batch_zipf", lambda: _sm(zidx, zqs, k=10).collect())
+    run("q_batch_zipf_wand",
+        lambda: _sm(zidx, zqs, k=10, exhaustive=False,
+                    wand_min_postings=0).collect())
+
     import json as _json
 
     qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
@@ -238,6 +258,7 @@ def main() -> None:
         "zipf_build_sec": zipf_build_s,
         "zipf_blocks_total": zipf_total,
         "zipf_blocks_kept": zipf_kept,
+        "zipf_batch_blocks_kept": zipf_batch_kept,
         "host_busy_frac": host_attr,
     }))
 

@@ -560,6 +560,8 @@ def search_many(
     round_decimals: int | None = None,
     strategy: str = "auto",
     phase_walls: dict | None = None,
+    exhaustive: bool = True,
+    wand_min_postings: int = WAND_MIN_POSTINGS,
 ) -> DataFrame:
     """Batch search: N queries -> ONE postings pass (B2–B5, B9 fused).
 
@@ -597,6 +599,14 @@ def search_many(
     broadcast mapping), so evaluated-row volume scales with distinct
     signatures, not submitted strings — real batch workloads repeat
     queries constantly.
+
+    ``exhaustive=False`` enables batch block-max pruning (B10 x batch):
+    the shared decode covers only the UNION of per-query survivor
+    blocks, with per-(term, segment) thresholds folded across queries
+    driver-side (:func:`sparktext.score.wand_blocks_for_batch`) —
+    results identical either way (asserted in tests), and the engine
+    still decodes everything below ``wand_min_postings`` candidate
+    postings (cost-based, same gate as single-query WAND).
     """
     from pyspark.sql import Window
 
@@ -612,7 +622,8 @@ def search_many(
         parts = [_search_many_phrases(index, phrasey, k, round_decimals)]
         if plain:
             parts.append(search_many(
-                index, plain, k, round_decimals, strategy, phase_walls
+                index, plain, k, round_decimals, strategy, phase_walls,
+                exhaustive, wand_min_postings,
             ))
         out = parts[0]
         for p in parts[1:]:
@@ -677,13 +688,27 @@ def search_many(
             .select(F.col("_qid").alias("query_id"), "doc_id", "score")
         )
 
+    # Batch block-max pruning (B10 x batch, ``exhaustive=False``): both
+    # strategies consume the same decode source, so the pruned survivor
+    # union (thresholds folded across queries driver-side — see
+    # score.wand_blocks_for_batch) drops in transparently; None means
+    # "prune nothing" and the full union decode proceeds as before.
+    blocks_src = None
+    if not exhaustive and k:
+        from sparktext.score import wand_blocks_for_batch
+
+        blocks_src = wand_blocks_for_batch(
+            index, live, k, stats_map, sorted(need_terms), wand_min_postings
+        )
+
     if strategy == "auto":
         strategy = _pick_batch_strategy(
             index.stats.num_docs, stats_map, live, need_terms
         )
     if strategy == "join":
         return _expand_dups(_search_many_join(
-            index, live, stats_map, sorted(need_terms), k, round_decimals
+            index, live, stats_map, sorted(need_terms), k, round_decimals,
+            blocks=blocks_src,
         ))
 
     # ONE decode of the union term set -> one row per doc holding a
@@ -703,7 +728,10 @@ def search_many(
     # shuffles (doc, int, double) instead of (doc, string, double) and
     # the per-(doc, query) lookups hash ints, not strings.
     term_id = {t: i for i, t in enumerate(terms)}
-    decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
+    decoded = _decode_postings(
+        blocks_src if blocks_src is not None
+        else postings_for_terms(index, terms, stats_map)
+    )
     tid_pairs = []
     for t, i in term_id.items():
         tid_pairs.extend([F.lit(t), F.lit(i)])
@@ -824,6 +852,7 @@ def _search_many_join(
     terms: list[str],
     k: int,
     round_decimals: int | None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """The equi-join batch strategy (see :func:`search_many`).
 
@@ -838,7 +867,9 @@ def _search_many_join(
     """
     from pyspark.sql import Window
 
-    grouped = _alive(index, _search_many_join_grouped(index, live, stats_map, terms))
+    grouped = _alive(
+        index, _search_many_join_grouped(index, live, stats_map, terms, blocks)
+    )
     if round_decimals is not None:
         grouped = grouped.withColumn("score", F.round(F.col("score"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -850,15 +881,20 @@ def _search_many_join(
 
 
 def _search_many_join_grouped(
-    index, live: dict[str, Query], stats_map: dict, terms: list[str]
+    index, live: dict[str, Query], stats_map: dict, terms: list[str],
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Join-strategy core: (doc_id, query_id, score) rows with full
     boolean semantics applied, BEFORE tombstone filtering, rounding and
     per-query top-k — reused by the phrase batch branch, which must add
-    phrase score contributions ahead of the cut."""
+    phrase score contributions ahead of the cut. ``blocks`` optionally
+    substitutes a pruned survivor-block source for the full union scan."""
     spark = index.postings.sparkSession
     term_id = {t: i for i, t in enumerate(terms)}
-    decoded = _decode_postings(postings_for_terms(index, terms, stats_map))
+    decoded = _decode_postings(
+        blocks if blocks is not None
+        else postings_for_terms(index, terms, stats_map)
+    )
     tid_pairs = []
     for t, i in term_id.items():
         tid_pairs.extend([F.lit(t), F.lit(i)])

@@ -154,20 +154,15 @@ def _seed_key_cond(hdr: DataFrame, k: int):
     ).isin(keys)
 
 
-def _theta_local(index, stats_map, boosts, rows, k: int) -> float:
-    """θ computed on the DRIVER from collected seed-block payloads:
-    decode with the local codec, score with the same BM25 formula in
-    numpy, return the k-th best per-doc partial sum (0 when fewer than k
-    seed docs — prune nothing). Bounded work: the caller collects at most
-    seeds_per_term x |terms| block rows."""
-    if not rows:
-        return 0.0
+def _theta_from_decoded(index, stats_map, boosts, dec, k: int) -> float:
+    """θ from an already-decoded seed posting frame (columns term,
+    doc_id, tf, norm_id): the k-th best per-doc partial sum, scored with
+    the same BM25 formula in numpy. 0 when fewer than k seed docs —
+    prune nothing. The batch path calls this once per query over ONE
+    shared decode (sliced to the query's terms by the caller)."""
     import numpy as np
     import pandas as pd
 
-    from sparktext import codec
-
-    dec = codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in rows]))
     if len(dec) == 0:
         return 0.0
     idf_map = {t: s["idf"] * boosts.get(t, 1.0) for t, s in stats_map.items()}
@@ -189,6 +184,21 @@ def _theta_local(index, stats_map, boosts, rows, k: int) -> float:
     # bound; 1e-9 relative covers any last-ulp ordering difference at
     # the cost of keeping a vanishing sliver of extra blocks.
     return theta - max(abs(theta) * 1e-9, 1e-12)
+
+
+def _theta_local(index, stats_map, boosts, rows, k: int) -> float:
+    """θ computed on the DRIVER from collected seed-block payloads:
+    decode with the local codec then :func:`_theta_from_decoded`.
+    Bounded work: the caller collects at most seeds_per_term x |terms|
+    block rows."""
+    if not rows:
+        return 0.0
+    import pandas as pd
+
+    from sparktext import codec
+
+    dec = codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in rows]))
+    return _theta_from_decoded(index, stats_map, boosts, dec, k)
 
 
 def wand_candidate_blocks(index, terms: list[str], k: int, stats_map=None) -> DataFrame:
@@ -405,3 +415,182 @@ def wand_blocks_for_query(index, query, k: int, stats_map=None) -> DataFrame:
             survivors
         )
     return survivors
+
+
+#: Batch bound-table cap: the batch pruning path collects per-(segment,
+#: term) max-ub rows for the union of pure-should batch terms. Beyond
+#: this many rows the driver-side threshold fold (and either survivor
+#: plan) stops being query-sized — fall back to the exhaustive batch.
+WAND_BATCH_BOUNDS_MAX = 65536
+
+
+def wand_blocks_for_batch(
+    index,
+    live: dict,
+    k: int,
+    stats_map: dict,
+    terms: list[str],
+    wand_min_postings: int,
+) -> DataFrame | None:
+    """Block-max pruning for a :func:`sparktext.query.search_many` batch
+    (B10 x batch): returns the posting-block rows the shared batch
+    decode must cover, or ``None`` when pruning is inapplicable (the
+    caller then decodes the full union — results identical either way).
+
+    A block survives iff it survives for ANY query — folded driver-side
+    into ONE per-(term, segment) threshold so the survivor filter stays
+    a single literal-map (or broadcast-join) lookup regardless of batch
+    size::
+
+        thr(t, s) = min over pure-should queries q containing t of
+                    (θ_q - Σ_{t'∈q, t'≠t} max_ub(t', s)·boost_q(t'))
+                    / boost_q(t)
+        keep B of term t in segment s  iff  ub_raw(B) >= thr(t, s)
+
+    Correctness per query follows the single-query argument: q's
+    survivor set here is a SUPERSET of its own WAND survivors (the min
+    only lowers thresholds), every true top-k doc of q keeps all its
+    blocks, and extra kept blocks only add exactly-scored candidates —
+    equality with the exhaustive batch is asserted in tests.
+
+    Sharing structure (the whole point — fixed cost is paid ONCE for
+    the batch, not per query): one header-cache job collects the
+    per-(segment, term) bound table for the union of pure-should batch
+    terms; one job fetches the union of per-term seed payload blocks;
+    the driver decodes them ONCE and computes every θ_q by slicing that
+    frame to q's terms (numpy, query-sized). The threshold fold loops
+    |pure queries| x |segments| x |terms per query| driver-side —
+    ~1M cheap ops for a 5000-query batch on 64 segments.
+
+    Scope guards (each falls back to ``None`` = exhaustive):
+
+    - tombstones poison θ (same as single-query WAND) — skip;
+    - candidate postings below ``wand_min_postings`` — pruning cannot
+      repay its two extra tiny jobs;
+    - queries with must/must_not clauses (their boolean filters need
+      full postings of THEIR terms) or non-positive boosts anchor all
+      their terms: those blocks are always kept, and only terms used
+      exclusively by pure-should queries are pruned;
+    - a bound table beyond :data:`WAND_BATCH_BOUNDS_MAX` rows.
+    """
+    import pandas as pd
+
+    from sparktext import codec
+    from sparktext.query import postings_for_terms  # local import: cycle
+
+    if index.deleted is not None or not k:
+        return None
+    present = [t for t in terms if t in stats_map]
+    if sum(stats_map[t]["doc_freq"] for t in present) < wand_min_postings:
+        return None
+
+    pure: dict[str, tuple] = {}
+    anchored_terms: set[str] = set()
+    for qid, q in live.items():
+        sp = [t for t in q.scored_terms if t in stats_map]
+        if (
+            not q.must and not q.must_not and sp
+            and all(b > 0 for b in q.boosts.values())
+        ):
+            pure[qid] = (q, sp)
+        else:
+            anchored_terms.update(
+                t for t in q.scored_terms + q.must_not if t in stats_map
+            )
+    prunable = sorted(
+        {t for _, sp in pure.values() for t in sp} - anchored_terms
+    )
+    if not pure or not prunable:
+        return None
+    prunable_set = set(prunable)
+    bound_terms = sorted({t for _, sp in pure.values() for t in sp})
+
+    blocks = postings_for_terms(index, present, stats_map)
+    buckets = sorted({stats_map[t]["term_bucket"] for t in bound_terms})
+    hdr = index.block_headers().filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(bound_terms)
+    ).withColumn("_ub", block_ub_col(index, stats_map))  # RAW ub; boosts fold driver-side
+
+    bound_rows = (
+        hdr.groupBy("segment_id", "term").agg(F.max("_ub").alias("m"))
+        .limit(WAND_BATCH_BOUNDS_MAX + 1)
+        .collect()
+    )
+    if len(bound_rows) > WAND_BATCH_BOUNDS_MAX:
+        return None
+    maxub = {(r["term"], r["segment_id"]): float(r["m"]) for r in bound_rows}
+    segs = sorted({s for (_, s) in maxub})
+
+    seed_payload = (
+        blocks.filter(_seed_key_cond(hdr, k) & F.col("term").isin(bound_terms))
+        .select("segment_id", "term", "count", "first_doc",
+                "doc_bits", "doc_bytes", "tf_bytes", "norm_bytes")
+        .collect()
+    )
+    dec = (
+        codec.decode_blocks_pdf(pd.DataFrame([r.asDict() for r in seed_payload]))
+        if seed_payload else pd.DataFrame(
+            {"term": [], "doc_id": [], "tf": [], "norm_id": []}
+        )
+    )
+
+    neg_inf = float("-inf")
+    thr: dict[tuple, float] = {}
+    for qid, (q, sp) in pure.items():
+        boosts = {t: float(q.boosts.get(t, 1.0)) for t in sp}
+        sub = dec[dec["term"].isin(sp)] if len(dec) else dec
+        theta = _theta_from_decoded(index, stats_map, boosts, sub, k)
+        for s in segs:
+            if theta <= 0.0:
+                # fewer than k seed docs: q prunes nothing — its terms'
+                # thresholds collapse to -inf (keep everything)
+                for t in sp:
+                    if t in prunable_set:
+                        thr[(t, s)] = neg_inf
+                continue
+            other_all = sum(maxub.get((t2, s), 0.0) * boosts[t2] for t2 in sp)
+            for t in sp:
+                if t not in prunable_set:
+                    continue
+                th = (theta - (other_all - maxub.get((t, s), 0.0) * boosts[t])) \
+                    / boosts[t]
+                key = (t, s)
+                if key not in thr or th < thr[key]:
+                    thr[key] = th
+
+    prunable_blocks = blocks.filter(F.col("term").isin(prunable)).withColumn(
+        "_ub", block_ub_col(index, stats_map)
+    )
+    finite = {ky: v for ky, v in thr.items() if v != neg_inf}
+    if len(finite) <= WAND_DRIVER_BOUNDS_MAX:
+        # literal-map thresholds: zero extra exchanges (missing key =
+        # -inf threshold = keep, covering the theta<=0 sentinels too)
+        if not finite:
+            return None  # every threshold is -inf: pruning keeps all
+        pairs = []
+        for (t, s), v in finite.items():
+            pairs.extend([F.lit(f"{t}|{s}"), F.lit(v)])
+        lookup = F.element_at(
+            F.create_map(*pairs),
+            F.concat_ws("|", F.col("term"), F.col("segment_id")),
+        )
+        survivors = prunable_blocks.filter(
+            F.col("_ub") >= F.coalesce(lookup, F.lit(neg_inf))
+        ).drop("_ub")
+    else:
+        spark = index.postings.sparkSession
+        thr_df = spark.createDataFrame(
+            [(t, s, v) for (t, s), v in finite.items()],
+            "term string, segment_id int, _thr double",
+        )
+        survivors = (
+            prunable_blocks.join(F.broadcast(thr_df), ["term", "segment_id"], "left")
+            .filter(F.col("_ub") >= F.coalesce(F.col("_thr"), F.lit(neg_inf)))
+            .drop("_ub", "_thr")
+        )
+    anchored_all = sorted(set(present) - prunable_set)
+    if anchored_all:
+        survivors = blocks.filter(F.col("term").isin(anchored_all)).unionByName(
+            survivors
+        )
+    return survivors.alias("wand_batch_pruned")

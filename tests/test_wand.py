@@ -201,3 +201,83 @@ def test_wand_with_tombstones_falls_back_and_matches(micro_index):
         assert "wand_pruned" not in plan
     finally:
         idx.deleted.unpersist()
+
+
+def _batch_results(index, queries, k, exhaustive, wmp=0):
+    from sparktext.query import search_many
+
+    rows = search_many(index, queries, k=k, exhaustive=exhaustive,
+                       wand_min_postings=wmp).collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid in got:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+    return got
+
+
+def test_batch_wand_equals_exhaustive_micro(micro_index):
+    """Batch pruning (exhaustive=False, forced gate) must be
+    result-identical to the exhaustive batch across mixed shapes —
+    pure-should queries prune, boolean/boosted queries anchor their
+    terms (kept in full)."""
+    queries = {
+        "q1": "heavy",
+        "q2": "apple banana",
+        "q3": "+grape cherry",       # must: anchored
+        "q4": "apple -banana",       # must_not: anchored
+        "q5": "heavy^2 grape",       # boosted pure-should: prunable
+        "q6": "unique",
+    }
+    for k in (3, 12):
+        assert _batch_results(micro_index, queries, k, False) == \
+            _batch_results(micro_index, queries, k, True), k
+
+
+def test_batch_wand_prunes_and_matches_on_zipf(spark):
+    """On the clustered-skew corpus the batch survivor union must be a
+    strict subset of the full block set (real pruning) while batch
+    results stay identical to exhaustive."""
+    from sparktext.build import build_index
+    from sparktext.query import parse_query, postings_for_terms
+    from sparktext.score import term_stats, wand_blocks_for_batch
+    from sparktext.corpus import skewed_impact_corpus
+
+    index = build_index(spark, skewed_impact_corpus(spark, 4000), num_segments=2)
+    queries = {
+        "z1": "alpha beta",
+        "z2": "gamma",
+        "z3": "alpha beta gamma",
+    }
+    live = {qid: parse_query(qs) for qid, qs in queries.items()}
+    terms = ["alpha", "beta", "gamma"]
+    sm = term_stats(index, terms)
+    total = postings_for_terms(index, terms, sm).count()
+    blocks = wand_blocks_for_batch(index, live, 5, sm, terms, 0)
+    assert blocks is not None
+    kept = blocks.count()
+    assert kept < total, (kept, total)
+    assert _batch_results(index, queries, 5, False) == \
+        _batch_results(index, queries, 5, True)
+    index.unpersist()
+
+
+def test_batch_wand_gate_and_tombstone_fallback(micro_index):
+    """Below the postings gate or with tombstones the batch helper
+    declines (None) — the caller decodes the full union."""
+    from sparktext.query import parse_query
+    from sparktext.score import term_stats, wand_blocks_for_batch
+
+    live = {"a": parse_query("heavy")}
+    sm = term_stats(micro_index, ["heavy"])
+    # gate: candidate postings (10) < min
+    assert wand_blocks_for_batch(micro_index, live, 3, sm, ["heavy"], 10**6) is None
+    # tombstones poison theta -> decline
+    spark = micro_index.postings.sparkSession
+    idx = micro_index.with_deletes(spark.createDataFrame([(2,)], "doc_id long"))
+    try:
+        assert wand_blocks_for_batch(idx, live, 3, sm, ["heavy"], 0) is None
+    finally:
+        idx.deleted.unpersist()
