@@ -328,6 +328,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm = facet_subtree_docs(idx, "/en").join(idx.doc_meta, "doc_id")
         return terms_agg(mm, "repo", size=5, sub_aggs=[SumAgg("n_chars")])
 
+    def agg_top_hits(spark, sf_dir):
+        # C7 x B9: top-2 hits per lang bucket (ES top_hits sub-agg).
+        from sparktext.aggs import top_hits_agg
+
+        idx, m = _matched(spark, sf_dir, "spark")
+        mm = m.join(idx.doc_meta.select("doc_id", "lang"), "doc_id")
+        return top_hits_agg(mm, "lang", k=2, round_decimals=4)
+
+    def search_page2(spark, sf_dir):
+        # B9 search_after: page 2 of the top-20, cursor = last row of
+        # page 1 (client-held k-row cursor; the collect is k rows).
+        from sparktext.topk import top_k, top_k_after
+
+        _, m = _matched(spark, sf_dir, "query window scan")
+        cur = top_k(m, 10, round_decimals=4).collect()[-1]
+        return top_k_after(m, 10, cur["score"], cur["doc_id"], round_decimals=4)
+
+    def search_snippets(spark, sf_dir):
+        # Snippet generation over the top-5 hits: JVM-side column
+        # expressions only (locate/substring/regexp_replace).
+        from sparktext.corpus import documents_as_corpus
+        from sparktext.snippet import snippets
+
+        hits = _hits(spark, sf_dir, "spark query", k=5)
+        corpus = documents_as_corpus(spark, sf_dir)
+        return snippets(hits, corpus, ["spark", "query"])
+
     def agg_cardinality(spark, sf_dir):
         from sparktext.aggs import CardinalityAgg
 
@@ -381,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_facet_matched": agg_facet_matched,
         "agg_cardinality": agg_cardinality,
         "agg_composed": agg_composed,
+        "agg_top_hits": agg_top_hits,
+        "search_page2": search_page2,
+        "search_snippets": search_snippets,
     }
     out.update(textops.queries())
     return out
@@ -690,6 +720,37 @@ SELECT COUNT(*) AS count, CAST(COALESCE(SUM(doc_len), 0) AS BIGINT) AS sum_doc_l
        AVG(CAST(n_chars AS DOUBLE)) AS n_chars_avg
 FROM matched JOIN dl USING (doc_id)""",
     }
+    out["agg_top_hits"] = f"""{_bm25_cte(["spark"])},
+sc AS (SELECT doc_id, ROUND(SUM(partial), 4) AS score FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS hit_rank
+  FROM sc JOIN documents d USING (doc_id))
+SELECT lang, doc_id, score, CAST(hit_rank AS INT) AS hit_rank
+FROM ranked WHERE hit_rank <= 2"""
+    # search_after == rows 11..20 of the same total order (the cursor
+    # filter and OFFSET select identical rows because the order is total:
+    # rounded score desc, doc_id asc).
+    out["search_page2"] = (
+        f"SELECT doc_id, score FROM ({_bm25_topk(['query', 'window', 'scan'], k=20)}) t "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"
+    )
+    out["search_snippets"] = f"""
+SELECT t.doc_id, t.score,
+       regexp_replace(
+         substr(d.text,
+                CASE WHEN d.fp IS NULL THEN 1
+                     ELSE greatest(1, d.fp - 30) END, 100),
+         '\\b(spark|query)\\b', '<b>\\1</b>', 'g') AS snippet
+FROM ({_bm25_topk(["spark", "query"], k=5)}) t
+JOIN (
+  SELECT doc_id, text,
+         nullif(least(
+           coalesce(nullif(strpos(lower(text), 'spark'), 0), 2147483647),
+           coalesce(nullif(strpos(lower(text), 'query'), 0), 2147483647)),
+           2147483647) AS fp
+  FROM documents) d USING (doc_id)"""
     # Batch-with-phrases: per-query SQL reuses the single-query oracle
     # bodies verbatim (p1 = the quoted mixed query, p2 = the bare
     # phrase, p3 = a plain BM25 query riding the same batch).

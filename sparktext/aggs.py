@@ -218,6 +218,38 @@ def terms_agg(
     return buckets
 
 
+def top_hits_agg(
+    matched: DataFrame,
+    field: str,
+    k: int,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """C7 × B9: the k best-scoring hits INSIDE each terms bucket — the
+    Elasticsearch ``top_hits`` sub-aggregation (tantivy exposes the same
+    shape as a TopDocs collector run per facet bucket).
+
+    Output: one row per (bucket, hit) = ``(field, doc_id, score,
+    hit_rank)``, hit_rank 1..k within the bucket by (score desc, doc_id
+    asc) — the pinned B9 tie-break, per bucket.
+
+    Scale shape: ONE shuffle on the facet key; the ``row_number <= k``
+    filter lowers to Spark's WindowGroupLimit, which pre-limits each
+    group map-side BEFORE the exchange — per-bucket bounded heaps, the
+    per-bucket analogue of TakeOrderedAndProject. Never a global sort,
+    and the post-shuffle state per bucket is k rows, so a million-bucket
+    facet at 100 TB shuffles ~k × |buckets| rows, not the matched set.
+    """
+    df = matched
+    if round_decimals is not None:
+        df = df.withColumn("score", F.round("score", round_decimals))
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= k)
+        .select(field, "doc_id", "score", "hit_rank")
+    )
+
+
 def facet_prefixes_col(path_col: Column, depth: int | None = None) -> Column:
     """Hierarchical facet paths (tantivy's ``facet`` field type, e.g.
     ``/lang/rust``): every ancestor prefix of the path up to ``depth``

@@ -26,6 +26,36 @@ def top_k(matched: DataFrame, k: int, round_decimals: int | None = None) -> Data
     return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def top_k_after(
+    matched: DataFrame,
+    k: int,
+    after_score: float,
+    after_doc: int,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """B9 pagination — tantivy/Elasticsearch ``search_after``: the k best
+    rows strictly AFTER the ``(after_score, after_doc)`` cursor in the
+    pinned (score desc, doc_id asc) order.
+
+    The cursor is the last row of the previous page (client-held, k-row
+    sized).  Deep pagination stays cheap at scale: the plan is a filter
+    + TakeOrderedAndProject, so page N costs the same one bounded-heap
+    pass as page 1 — no OFFSET, which would shuffle and discard
+    offset+k rows per partition (the reason Elasticsearch deprecated
+    from+size for deep pages).  ``round_decimals`` must match the value
+    used when the cursor page was produced, or the cursor comparison
+    splits analytic ties differently than the page boundary did.
+    """
+    df = matched
+    if round_decimals is not None:
+        df = df.withColumn("score", F.round(F.col("score"), round_decimals))
+    after = (F.col("score") < F.lit(float(after_score))) | (
+        (F.col("score") == F.lit(float(after_score)))
+        & (F.col("doc_id") > F.lit(int(after_doc)))
+    )
+    return df.filter(after).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def materialize_hits(index, hits: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """A9: join top-k doc ids back to the stored fields (doc_meta)."""
     cols = columns or ["repo", "path", "commit", "lang"]
