@@ -153,6 +153,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "b4": "stream -slow"}
         return search_many(idx, qs, k=10, round_decimals=4)
 
+    def search_batch_wand(spark, sf_dir):
+        # Round 6: the batch block-max pruning path ACTIVE (forced via
+        # wand_min_postings=0 — the cost gate would bypass it at fixture
+        # scale). Pure-should batch so every query is prunable; results
+        # must be identical to the exhaustive batch (same oracle shape
+        # as search_batch).
+        from sparktext.query import search_many
+
+        idx = _index(spark, sf_dir)
+        qs = {"w1": "spark", "w2": "query window", "w3": "query window scan"}
+        return search_many(idx, qs, k=10, round_decimals=4,
+                           exhaustive=False, wand_min_postings=0)
+
     def search_phrase(spark, sf_dir):
         from sparktext.query import phrase_docs
         from sparktext.topk import top_k
@@ -381,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_must_not": search_must_not,
         "search_wand_top10": search_wand_top10,
         "search_batch": search_batch,
+        "search_batch_wand": search_batch_wand,
         "search_phrase": search_phrase,
         "search_term_range": search_term_range,
         "search_prefix": search_prefix,
@@ -517,6 +531,14 @@ FROM dl""",
                 ("b2", _bm25_topk(["query", "window"])),
                 ("b3", _bm25_topk(["join", "filter"], must=["join", "filter"])),
                 ("b4", _bm25_topk(["stream"], must_not=["slow"])),
+            ]
+        ),
+        "search_batch_wand": " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+            for qid, sql in [
+                ("w1", _bm25_topk(["spark"])),
+                ("w2", _bm25_topk(["query", "window"])),
+                ("w3", _bm25_topk(["query", "window", "scan"])),
             ]
         ),
         "agg_count": f"""

@@ -43,6 +43,7 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass
+from dataclasses import field as dc_field
 from typing import Iterator
 
 import numpy as np
@@ -101,6 +102,16 @@ class Index:
     #: append/merge re-derive facet postings) + its depth cap
     facet_expr: str | None = None
     facet_depth: int | None = None
+    #: driver-side term-dictionary stat memo (sparktext.score.term_stats):
+    #: filled lazily per QUERIED term (None = negative entry), so repeated
+    #: queries skip the per-call term_dict collect job entirely — the
+    #: in-memory term dictionary every engine keeps (tantivy mmaps its
+    #: FST; the broadcast-dict design of SURVEY §4.2 is the same idea).
+    #: Bounded by distinct queried terms, ~100 B each; never persisted.
+    #: Postings/term_dict are immutable per Index instance (deletes are
+    #: tombstones on a NEW Index; append/merge build new instances), so
+    #: entries can never go stale.
+    _tstats: dict = dc_field(default_factory=dict)
 
     def block_headers(self) -> DataFrame:
         """Block headers WITHOUT the binary payload columns, persisted on
@@ -142,6 +153,8 @@ class Index:
             n_buckets=self.n_buckets, positions=self.positions,
             deleted=new_del.persist(), facet_postings=self.facet_postings,
             facet_expr=self.facet_expr, facet_depth=self.facet_depth,
+            # tombstones don't touch the term dictionary: share the memo
+            _tstats=self._tstats,
         )
 
 
@@ -779,4 +792,6 @@ def with_facets(
         n_buckets=index.n_buckets, positions=index.positions,
         deleted=index.deleted, facet_postings=fp,
         facet_expr=expr_attr, facet_depth=depth,
+        # facets don't touch the text term dictionary: share the memo
+        _tstats=index._tstats,
     )

