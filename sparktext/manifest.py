@@ -107,13 +107,31 @@ class _writer_lock:
                         f"pid {pid}; retry after the current writer "
                         f"(append/compact) finishes"
                     )
+                # Atomic CLAIM before breaking (closes the round-5
+                # advisory TOCTOU): rename the stale file to a per-pid
+                # name — rename(2) is atomic, so exactly ONE waiter wins
+                # the claim and proceeds to recreate; a loser's rename
+                # raises and it loops back to the O_EXCL create, where it
+                # will observe the winner's FRESH lock as live and raise.
+                # (The old unlink-based break let two waiters both
+                # observe the dead pid, then the second unlink deleted
+                # the first waiter's fresh lock — two "single" writers.)
+                # A fresh lock can only be created while self.path is
+                # absent, which requires having won this rename — so a
+                # successful claim is guaranteed to hold the stale file,
+                # never a live writer's.
+                claim = f"{self.path}.stale.{os.getpid()}"
+                try:
+                    os.rename(self.path, claim)
+                except FileNotFoundError:
+                    continue  # another waiter claimed it first
                 warnings.warn(
                     f"breaking stale index writer lock {self.path!r} "
                     f"(holder pid {pid} is dead)"
                 )
                 try:
-                    os.unlink(self.path)
-                except FileNotFoundError:
+                    os.unlink(claim)
+                except OSError:
                     pass
         os.write(fd, json.dumps(
             {"pid": os.getpid(), "op": self.op, "ts": time.time()}
@@ -853,7 +871,23 @@ def _compact_index_locked(
     # the checkpoint in the doomed old dir).
     live_ckpt = os.path.join(base, "_stream_checkpoint")
     if os.path.exists(live_ckpt):
-        shutil.copytree(live_ckpt, os.path.join(tmp, "_stream_checkpoint"))
+        # A LIVE stream writes offset/commit WAL files outside the writer
+        # lock, so entries can appear/vanish mid-copy (round-5 advisory).
+        # Retry on vanished files; exactly-once does NOT depend on this
+        # copy being a perfect point-in-time snapshot — the commit_token
+        # replay discrimination in append re-deduplicates any micro-batch
+        # the checkpoint copy is behind on. Compaction under a live
+        # stream remains discouraged (the stream's own foreachBatch
+        # appends fail fast on the held writer lock).
+        for attempt in range(3):
+            dst = os.path.join(tmp, "_stream_checkpoint")
+            try:
+                shutil.copytree(live_ckpt, dst)
+                break
+            except (FileNotFoundError, shutil.Error):
+                shutil.rmtree(dst, ignore_errors=True)
+                if attempt == 2:
+                    raise
     with open(os.path.join(tmp, "_COMPACT_DONE"), "w") as f:
         f.write(build_id)
 

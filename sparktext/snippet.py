@@ -41,6 +41,13 @@ def snippet_col(
 
     Pure column expression (locate + substring + regexp_replace) — stays
     inside whole-stage codegen; no Python touches row data.
+
+    Case handling (pinned by the DuckDB oracle twin, so it cannot
+    change silently): the fragment WINDOW is anchored case-insensitively
+    (``lower()`` + ``locate``), but the ``<b>`` highlight wraps only
+    occurrences matching the LOWERCASED term form — mixed-case text
+    ('Grape') anchors the fragment without being wrapped. The oracle SQL
+    in ``__spark_entry__`` replicates exactly this.
     """
     if not terms:
         raise ValueError("snippet_col needs at least one query term")
